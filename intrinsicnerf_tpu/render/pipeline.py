@@ -1,0 +1,144 @@
+"""Hierarchical coarse/fine volumetric rendering pipeline.
+
+Behavioral parity target: ``SSRTrainer.volumetric_rendering``
+(``/root/reference/SSR/training/trainer.py:717-808``) and
+``object_level/run_nerf.py:415-528``:
+
+- stratified linear-in-depth coarse samples (+ per-interval jitter when
+  training), optional ``lindisp``.
+- coarse MLP eval -> composite -> importance-resample from the interior
+  coarse weights (``weights[..., 1:-1]`` over z midpoints), detached,
+  merged+sorted with the coarse depths -> fine MLP eval -> composite.
+- train-time gaussian noise on sigma (``raw_noise_std``).
+
+TPU-first design: the whole pipeline is one jitted pure function; the
+reference's ``batchify_rays``/``batchify`` chunk loops ("memory
+parallelism", ``training_utils.py:5-29``) are replaced by sharding the
+ray axis across the mesh — the per-ray sample axis stays local so the
+inverse-CDF resample and compositing never cross chips.  For full-image
+eval renders a ``lax.map`` over fixed-size chunks bounds memory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from intrinsicnerf_tpu.core.compositing import RenderMaps, composite
+from intrinsicnerf_tpu.core.sampling import (
+    merge_z_vals,
+    perturb_z_vals,
+    sample_pdf,
+    stratified_z_vals,
+)
+from intrinsicnerf_tpu.models.mlp import MLPConfig, Params, eval_points
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    n_coarse: int = 64
+    n_importance: int = 128
+    perturb: float = 1.0
+    raw_noise_std: float = 0.0
+    white_bkgd: bool = False
+    lindisp: bool = False
+    endpoint_feat: bool = False
+
+
+class RenderResult(NamedTuple):
+    coarse: RenderMaps
+    fine: Optional[RenderMaps]
+    z_std: Optional[jnp.ndarray]  # std of the importance depths [N]
+
+
+def render_rays(
+    params_coarse: Params,
+    params_fine: Optional[Params],
+    mlp_cfg: MLPConfig,
+    rays: jnp.ndarray,  # [N, 11] = [o(3), d(3), near, far, viewdir(3)]
+    key: Optional[jax.Array],
+    rcfg: RenderConfig,
+    train: bool = False,
+) -> RenderResult:
+    rays_o, rays_d = rays[..., 0:3], rays[..., 3:6]
+    near, far = rays[..., 6:7], rays[..., 7:8]
+    viewdirs = rays[..., 8:11] if rays.shape[-1] > 8 else None
+
+    if train and key is not None:
+        k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
+    else:
+        k_perturb = k_noise_c = k_pdf = k_noise_f = None
+
+    z_vals = stratified_z_vals(near, far, rcfg.n_coarse, rcfg.lindisp)
+    z_vals = jnp.broadcast_to(z_vals, (*rays.shape[:-1], rcfg.n_coarse))
+    if train and rcfg.perturb > 0.0:
+        z_vals = perturb_z_vals(z_vals, k_perturb)
+
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+    raw_c = eval_points(params_coarse, mlp_cfg, pts, viewdirs)
+
+    noise_c = None
+    if train and rcfg.raw_noise_std > 0.0:
+        noise_c = (
+            jax.random.normal(k_noise_c, raw_c.sigma.shape) * rcfg.raw_noise_std
+        )
+    maps_c = composite(raw_c, z_vals, rays_d, noise_c, rcfg.white_bkgd)
+
+    if rcfg.n_importance <= 0 or params_fine is None:
+        return RenderResult(coarse=maps_c, fine=None, z_std=None)
+
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    det = (rcfg.perturb == 0.0) or (not train)
+    z_samples = sample_pdf(
+        z_mid,
+        jax.lax.stop_gradient(maps_c.weights[..., 1:-1]),
+        rcfg.n_importance,
+        key=k_pdf,
+        det=det,
+    )
+    z_samples = jax.lax.stop_gradient(z_samples)
+    z_all = merge_z_vals(z_vals, z_samples)
+
+    pts_f = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
+    raw_f = eval_points(
+        params_fine, mlp_cfg, pts_f, viewdirs, want_endpoint_feat=rcfg.endpoint_feat
+    )
+    noise_f = None
+    if train and rcfg.raw_noise_std > 0.0:
+        noise_f = (
+            jax.random.normal(k_noise_f, raw_f.sigma.shape) * rcfg.raw_noise_std
+        )
+    maps_f = composite(raw_f, z_all, rays_d, noise_f, rcfg.white_bkgd)
+
+    z_std = jnp.std(z_samples, axis=-1)
+    return RenderResult(coarse=maps_c, fine=maps_f, z_std=z_std)
+
+
+def render_rays_chunked(
+    params_coarse: Params,
+    params_fine: Optional[Params],
+    mlp_cfg: MLPConfig,
+    rays: jnp.ndarray,  # [M, 11]; M must be a multiple of chunk
+    rcfg: RenderConfig,
+    chunk: int = 4096,
+) -> RenderResult:
+    """Eval-mode full-image render: ``lax.map`` over fixed-size chunks to
+    bound device memory (replaces the reference's Python ``batchify_rays``
+    loop with a single compiled scan)."""
+    m = rays.shape[0]
+    assert m % chunk == 0, f"ray count {m} not divisible by chunk {chunk}"
+    rays_c = rays.reshape(m // chunk, chunk, rays.shape[-1])
+
+    def body(r):
+        return render_rays(
+            params_coarse, params_fine, mlp_cfg, r, None, rcfg, train=False
+        )
+
+    out = jax.lax.map(body, rays_c)
+    # flatten the chunk axis back out of every leaf
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape(m, *x.shape[2:]) if x is not None else None, out
+    )

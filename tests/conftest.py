@@ -1,0 +1,21 @@
+"""Test environment: force CPU with 8 virtual devices so sharding tests
+run without a TPU pod (SURVEY.md §4's multi-host test strategy)."""
+
+import os
+
+# The session environment pins JAX_PLATFORMS=axon (the real TPU tunnel);
+# unit tests must run on the virtual CPU mesh, so override unconditionally.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(20220414)

@@ -1,0 +1,108 @@
+"""Model structure / behavior tests (reference: Semantic_NeRF,
+SSR/models/semantic_nerf.py:74-181)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from intrinsicnerf_tpu.models.mlp import (
+    MLPConfig,
+    apply_mlp,
+    count_params,
+    eval_points,
+    init_mlp_params,
+)
+from intrinsicnerf_tpu.core.pe import positional_encoding
+
+
+def small_cfg(**kw):
+    base = dict(depth=4, width=32, skips=(2,), n_freqs_pos=4, n_freqs_dir=2)
+    base.update(kw)
+    return MLPConfig(**base)
+
+
+def test_param_shapes_full_size():
+    cfg = MLPConfig(enable_semantic=True, num_semantic_classes=27)
+    p = init_mlp_params(jax.random.key(0), cfg)
+    assert p["trunk"][0]["kernel"].shape == (63, 256)
+    # layer after skip concat consumes [input_pts, h]
+    assert p["trunk"][5]["kernel"].shape == (256 + 63, 256)
+    assert p["views"]["kernel"].shape == (256 + 27, 128)
+    assert p["sem2"]["kernel"].shape == (128, 27)
+    # reference model is ~1.2MB fp32 -> ~600k params with semantics
+    assert 400_000 < count_params(p) < 800_000
+
+
+def test_forward_shapes_and_identity():
+    cfg = small_cfg(enable_semantic=True, num_semantic_classes=5)
+    p = init_mlp_params(jax.random.key(1), cfg)
+    pts = jax.random.normal(jax.random.key(2), (7, 9, 3))
+    dirs = jax.random.normal(jax.random.key(3), (7, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    raw = eval_points(p, cfg, pts, dirs)
+    assert raw.rgb.shape == (7, 9, 3)
+    assert raw.sigma.shape == (7, 9)
+    assert raw.albedo.shape == (7, 9, 3)
+    assert raw.shading.shape == (7, 9)
+    assert raw.residual.shape == (7, 9, 3)
+    assert raw.sem_logits.shape == (7, 9, 5)
+    # in-network identity rgb = albedo*shading + residual
+    np.testing.assert_allclose(
+        np.asarray(raw.rgb),
+        np.asarray(raw.albedo) * np.asarray(raw.shading)[..., None]
+        + np.asarray(raw.residual),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    # sigmoid ranges
+    assert np.all(np.asarray(raw.albedo) > 0) and np.all(np.asarray(raw.albedo) < 1)
+    assert np.all(np.asarray(raw.shading) > 0) and np.all(np.asarray(raw.shading) < 1)
+
+
+def test_semantics_view_independent():
+    """Semantic logits and sigma must not depend on the view direction."""
+    cfg = small_cfg(enable_semantic=True, num_semantic_classes=3)
+    p = init_mlp_params(jax.random.key(4), cfg)
+    pts = jax.random.normal(jax.random.key(5), (4, 6, 3))
+    d1 = jnp.tile(jnp.asarray([[1.0, 0, 0]]), (4, 1))
+    d2 = jnp.tile(jnp.asarray([[0, 1.0, 0]]), (4, 1))
+    r1, r2 = eval_points(p, cfg, pts, d1), eval_points(p, cfg, pts, d2)
+    np.testing.assert_allclose(np.asarray(r1.sem_logits), np.asarray(r2.sem_logits))
+    np.testing.assert_allclose(np.asarray(r1.sigma), np.asarray(r2.sigma))
+    np.testing.assert_allclose(np.asarray(r1.albedo), np.asarray(r1.albedo))
+    # residual DOES depend on views
+    assert not np.allclose(np.asarray(r1.residual), np.asarray(r2.residual))
+
+
+def test_grad_all_params():
+    cfg = small_cfg()
+    p = init_mlp_params(jax.random.key(6), cfg)
+    pts = jax.random.normal(jax.random.key(7), (8, 4, 3))
+    dirs = jnp.tile(jnp.asarray([[0.0, 0, 1.0]]), (8, 1))
+
+    def loss(params):
+        raw = eval_points(params, cfg, pts, dirs)
+        return jnp.mean(raw.rgb**2) + jnp.mean(raw.sigma**2)
+
+    g = jax.grad(loss)(p)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+    # every parameter receives gradient signal
+    nonzero = [float(jnp.sum(jnp.abs(x))) > 0 for x in leaves]
+    assert all(nonzero), "some parameters got zero gradient"
+
+
+def test_apply_matches_manual_two_layer():
+    """Spot-check the trunk math on a depth-1 no-skip net."""
+    cfg = MLPConfig(depth=1, width=8, skips=(), n_freqs_pos=0, n_freqs_dir=0)
+    p = init_mlp_params(jax.random.key(8), cfg)
+    x = jax.random.normal(jax.random.key(9), (5, 3))
+    pe = positional_encoding(x, 0)
+    raw = apply_mlp(p, cfg, pe, pe)
+    h = np.maximum(
+        np.asarray(x) @ np.asarray(p["trunk"][0]["kernel"])
+        + np.asarray(p["trunk"][0]["bias"]),
+        0,
+    )
+    sigma = h @ np.asarray(p["sigma"]["kernel"]) + np.asarray(p["sigma"]["bias"])
+    np.testing.assert_allclose(np.asarray(raw.sigma), sigma[..., 0], rtol=1e-5)
