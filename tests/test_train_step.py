@@ -1,0 +1,179 @@
+"""Sampler and train-step tests, including a tiny end-to-end training
+run on a synthetic scene (SURVEY.md §4: loss-decrease integration test)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from intrinsicnerf_tpu.cluster.assign import empty_cluster_table
+from intrinsicnerf_tpu.core.rays import create_rays
+from intrinsicnerf_tpu.data.samplers import sample_ray_pairs
+from intrinsicnerf_tpu.models.mlp import MLPConfig
+from intrinsicnerf_tpu.render.pipeline import RenderConfig
+from intrinsicnerf_tpu.train.schedules import (
+    cluster_anneal,
+    loss_weight_schedule,
+    make_lr_schedule,
+)
+from intrinsicnerf_tpu.train.step import (
+    DataPools,
+    TrainConfig,
+    create_train_state,
+    make_train_step,
+)
+
+
+H = W = 16
+
+
+def make_pools(n_img=3, semantic=True, seed=0):
+    rng = np.random.default_rng(seed)
+    c2ws = []
+    for i in range(n_img):
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[2, 3] = -3.0 - 0.1 * i
+        c2ws.append(c2w)
+    rays = create_rays(
+        jnp.asarray(np.stack(c2ws)), H, W, 8.0, 8.0, (W - 1) / 2, (H - 1) / 2,
+        1.0, 6.0,
+    )
+    rgb = jnp.asarray(rng.uniform(size=(n_img, H * W, 3)).astype(np.float32))
+    sem = (
+        jnp.asarray(rng.integers(0, 4, size=(n_img, H * W)))
+        if semantic
+        else None
+    )
+    depth = jnp.asarray(rng.uniform(1, 5, size=(n_img, H * W)).astype(np.float32))
+    mask_ids = jnp.asarray(np.ones(n_img, np.int32))
+    return DataPools(rays=rays, rgb=rgb, depth=depth, semantic=sem, mask_ids=mask_ids)
+
+
+def test_sampler_pairing_contract():
+    pools = make_pools()
+    n = 64
+    batch = sample_ray_pairs(
+        jax.random.key(0), pools.rays, pools.rgb, H, W, n,
+        depth_pool=pools.depth, sem_pool=pools.semantic, mask_ids=pools.mask_ids,
+    )
+    assert batch.rays.shape == (2 * n, 11)
+    assert batch.rgb.shape == (2 * n, 3)
+    assert batch.semantic.shape == (2 * n,)
+    assert float(batch.sem_flag) == 1.0
+    # all rays share one image origin
+    np.testing.assert_allclose(
+        np.asarray(batch.rays[:, 0:3]),
+        np.tile(np.asarray(batch.rays[:1, 0:3]), (2 * n, 1)),
+    )
+    # pair i and i+n are 8-neighbors: recover pixel indices from ray dirs
+    # by matching against the per-image pool
+    img = int(batch.image_idx)
+    pool = np.asarray(pools.rays[img])
+    d = np.asarray(batch.rays[:, 3:6])
+    idx = np.argmin(
+        np.linalg.norm(pool[None, :, 3:6] - d[:, None, :], axis=-1), axis=1
+    )
+    r, c = idx // W, idx % W
+    dr = np.abs(r[:n] - r[n:])
+    dc = np.abs(c[:n] - c[n:])
+    assert np.all(dr <= 1) and np.all(dc <= 1)
+
+
+def test_sampler_keys_differ():
+    pools = make_pools()
+    b1 = sample_ray_pairs(jax.random.key(1), pools.rays, pools.rgb, H, W, 32)
+    b2 = sample_ray_pairs(jax.random.key(2), pools.rays, pools.rgb, H, W, 32)
+    assert not np.allclose(np.asarray(b1.rays), np.asarray(b2.rays))
+
+
+def test_schedules():
+    w_res, w_i = loss_weight_schedule(jnp.asarray(0), 1.0, 0.02, 0.1, 0.01)
+    assert float(w_res) == 1.0 and float(w_i) == pytest.approx(0.1)
+    w_res, w_i = loss_weight_schedule(jnp.asarray(150_000), 1.0, 0.02, 0.1, 0.01)
+    assert float(w_res) == pytest.approx(0.02) and float(w_i) == pytest.approx(0.01)
+
+    lr = make_lr_schedule(5e-4, 250e3)
+    assert float(lr(0)) == pytest.approx(5e-4)
+    assert float(lr(250_000)) == pytest.approx(5e-5, rel=1e-3)
+
+    # anneal: first rebuild at 10k of 200k total -> w_c=0.01, b_f=0.25
+    w_c, b_f = cluster_anneal(10_000, 10_000, 200_000)
+    assert w_c == pytest.approx(0.01) and b_f == pytest.approx(0.25)
+    # last rebuild approaches 1 (scene cap) / 0.5 (object cap)
+    w_c, b_f = cluster_anneal(190_000, 10_000, 200_000)
+    assert w_c == pytest.approx(1.0) and b_f == pytest.approx(1.0)
+    _, b_f = cluster_anneal(190_000, 10_000, 200_000, b_f_cap=0.5)
+    assert b_f == pytest.approx(0.5)
+
+
+def _build_step(semantic=True, n_rays=32):
+    mcfg = MLPConfig(
+        depth=3, width=32, skips=(1,),
+        n_freqs_pos=4, n_freqs_dir=2,
+        enable_semantic=semantic, num_semantic_classes=4 if semantic else 0,
+    )
+    rcfg = RenderConfig(n_coarse=8, n_importance=8, raw_noise_std=1.0)
+    tcfg = TrainConfig(n_rays=n_rays)
+    opt = optax.adam(learning_rate=make_lr_schedule(tcfg.lrate, tcfg.lrate_decay))
+    state = create_train_state(jax.random.key(0), mcfg, tcfg, opt)
+    step = make_train_step(mcfg, rcfg, tcfg, opt, H, W)
+    return mcfg, state, jax.jit(step)
+
+
+def test_train_step_runs_and_learns():
+    pools = make_pools(semantic=True)
+    _, state, step = _build_step()
+    table = empty_cluster_table(4, 64)
+    key = jax.random.key(42)
+    first = None
+    for i in range(60):
+        state, report = step(state, pools, table, jnp.float32(0.0), key)
+        if i == 0:
+            first = float(report.total)
+            for name, v in report._asdict().items():
+                assert np.isfinite(float(v)), f"{name} not finite"
+    assert int(state.step) == 60
+    assert float(report.total) < first * 0.8, (first, float(report.total))
+    assert float(report.psnr_fine) > 0
+
+
+def test_train_step_cluster_loss_active():
+    """With a real cluster table and w_c>0 the cluster term contributes."""
+    from intrinsicnerf_tpu.cluster.manager import ClusterManager, build_cluster
+
+    pools = make_pools(semantic=True)
+    _, state, step = _build_step()
+    rng = np.random.default_rng(0)
+    cluster = build_cluster(
+        np.clip(rng.uniform(0.2, 0.8, size=(300, 3)), 0, 1), band_factor=1.0
+    )
+    table = ClusterManager(class_num=4, clusters=[cluster] * 4).to_table(64)
+    state, report = step(state, pools, table, jnp.float32(0.5), jax.random.key(1))
+    assert float(report.reflect_cluster) > 0
+    # with the empty (passthrough) table the target IS the fine albedo, so
+    # the fine term vanishes and only the coarse-vs-fine gap remains —
+    # the reported sum must shrink vs the real table
+    state2, report2 = step(
+        state, pools, empty_cluster_table(4, 64), jnp.float32(0.5), jax.random.key(1)
+    )
+    assert float(report2.reflect_cluster) < float(report.reflect_cluster)
+
+
+def test_train_step_object_mode():
+    """Object pipeline: no semantics, mask pairing, white bkgd."""
+    mcfg = MLPConfig(depth=3, width=32, skips=(1,), n_freqs_pos=4, n_freqs_dir=2)
+    rcfg = RenderConfig(n_coarse=8, n_importance=8, white_bkgd=True)
+    tcfg = TrainConfig(n_rays=16, mask_mode="mask")
+    opt = optax.adam(5e-4)
+    state = create_train_state(jax.random.key(0), mcfg, tcfg, opt)
+    step = jax.jit(make_train_step(mcfg, rcfg, tcfg, opt, H, W))
+    pools = make_pools(semantic=False)
+    # mask stored in the semantic pool slot as float 0/1
+    mask = jnp.asarray(
+        (np.random.default_rng(0).uniform(size=(3, H * W)) > 0.3).astype(np.float32)
+    )
+    pools = pools._replace(semantic=mask)
+    table = empty_cluster_table(1, 16)
+    state, report = step(state, pools, table, jnp.float32(0.0), jax.random.key(3))
+    assert np.isfinite(float(report.total))
