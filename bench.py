@@ -1,0 +1,123 @@
+"""Benchmark: training-step throughput in rays/s/chip (fwd+bwd).
+
+Workload = the reference's Replica-scene headline config
+(SSR_room0_config.yaml / BASELINE.md): 512 sampled pixels x2 neighbor
+pairing = 1024 rays/step, 64 coarse + 128 fine samples/ray, 8x256
+coarse+fine MLPs with 27-class semantic head, full loss stack (image +
+semantic CE + 6 intrinsic priors + cluster term against a live anchor
+table), Adam with exp LR decay — i.e. the complete fused train step,
+not a bare forward.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md).
+Anchor: its inherited nerf-pytorch README reports fern 200k iters in
+~8h on an RTX 2080 Ti at N_rand=1024 -> ~6.9 steps/s; at the scene
+config's 1024 rays/step that is ~7.1k rays/s, and IntrinsicNeRF adds
+heads/losses on top, so 7111 rays/s is a *generous* reference-GPU
+anchor.  vs_baseline = measured / 7111.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_RAYS_PER_S = 7111.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from intrinsicnerf_tpu.cluster.assign import empty_cluster_table
+    from intrinsicnerf_tpu.cluster.manager import ClusterManager, build_cluster
+    from intrinsicnerf_tpu.core.rays import create_rays
+    from intrinsicnerf_tpu.models.mlp import MLPConfig
+    from intrinsicnerf_tpu.render.pipeline import RenderConfig
+    from intrinsicnerf_tpu.train.schedules import make_lr_schedule
+    from intrinsicnerf_tpu.train.step import (
+        DataPools,
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    h, w = 240, 320
+    n_classes = 27
+    n_img = 16  # sampler cost is independent of pool image count
+    mcfg = MLPConfig(
+        pos_scalar_factor=10.0,
+        enable_semantic=True,
+        num_semantic_classes=n_classes,
+        compute_dtype=jnp.bfloat16,  # trunk in bf16; heads/losses fp32
+    )
+    rcfg = RenderConfig(n_coarse=64, n_importance=128, perturb=1.0, raw_noise_std=1.0)
+    tcfg = TrainConfig(n_rays=512)
+    opt = optax.adam(make_lr_schedule(tcfg.lrate, tcfg.lrate_decay))
+
+    rng = np.random.default_rng(0)
+    c2ws = np.tile(np.eye(4, dtype=np.float32), (n_img, 1, 1))
+    c2ws[:, 2, 3] = -3.0 - 0.05 * np.arange(n_img)
+    fx = w / 2.0  # hfov 90
+    pools = DataPools(
+        rays=create_rays(
+            jnp.asarray(c2ws), h, w, fx, fx, (w - 1) / 2, (h - 1) / 2, 0.1, 10.0
+        ),
+        rgb=jnp.asarray(rng.uniform(size=(n_img, h * w, 3)).astype(np.float32)),
+        depth=jnp.asarray(rng.uniform(1, 5, size=(n_img, h * w)).astype(np.float32)),
+        semantic=jnp.asarray(rng.integers(0, n_classes, size=(n_img, h * w))),
+        mask_ids=jnp.ones((n_img,), jnp.int32),
+    )
+    # realistic cluster table: one real cluster per class
+    cluster = build_cluster(
+        np.clip(rng.uniform(0.1, 0.9, size=(2000, 3)), 0, 1), band_factor=1.0
+    )
+    table = ClusterManager(
+        class_num=n_classes, clusters=[cluster] * n_classes
+    ).to_table(anchors_per_class=2048)
+
+    state = create_train_state(jax.random.key(0), mcfg, tcfg, opt)
+    step = jax.jit(
+        make_train_step(mcfg, rcfg, tcfg, opt, h, w), donate_argnums=(0,)
+    )
+    key = jax.random.key(7)
+    w_c = jnp.float32(0.01)
+
+    # warmup / compile.  NOTE: sync via a host readback (float()), not
+    # block_until_ready — the axon tunnel backend returns early from
+    # block_until_ready, which silently inflates throughput ~30x.
+    for _ in range(5):
+        state, report = step(state, pools, table, w_c, key)
+    float(report.total)
+
+    iters = 200
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, report = step(state, pools, table, w_c, key)
+    float(report.total)
+    dt = time.perf_counter() - t0
+
+    rays_per_step = 2 * tcfg.n_rays
+    rays_per_s = rays_per_step * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_s_per_chip",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s (fwd+bwd, 192 samples/ray, full loss stack)",
+                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 2),
+            }
+        )
+    )
+    print(
+        f"# {iters} steps in {dt:.2f}s = {iters/dt:.1f} steps/s on "
+        f"{jax.devices()[0].platform}:{jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
