@@ -77,6 +77,66 @@ def sample_ray_pairs(
     )
 
 
+def sample_ray_pairs_from_poses(
+    key: jax.Array,
+    dirs_cam: jnp.ndarray,  # [H*W, 3] shared camera-frame pixel dirs
+    poses: jnp.ndarray,  # [num_img, 4, 4] c2w
+    rgb_pool: jnp.ndarray,  # [num_img, H*W, 3]
+    h: int,
+    w: int,
+    n_rays: int,
+    near: float,
+    far: float,
+    mask_pool: Optional[jnp.ndarray] = None,  # [num_img, H*W] object mask
+    crop_frac: Optional[jnp.ndarray] = None,  # [] in (0,1]; None = full frame
+) -> RayBatch:
+    """Object-pipeline sampler: rays are built on the fly from the sampled
+    image's pose instead of a precomputed per-image ray pool — O(HW)
+    memory instead of O(num_img * HW * 11) (the reference's
+    ``get_rays`` per step, ``run_nerf.py:900``).  ``crop_frac`` < 1
+    restricts pixels to the center crop (precrop warmup,
+    ``run_nerf.py:902-911``)."""
+    num_img = poses.shape[0]
+    k_img, k_h, k_w, k_bh, k_bw = jax.random.split(key, 5)
+    img = jax.random.randint(k_img, (), 0, num_img)
+
+    if crop_frac is not None:
+        dh = jnp.maximum((h // 2 * crop_frac).astype(jnp.int32), 1)
+        dw = jnp.maximum((w // 2 * crop_frac).astype(jnp.int32), 1)
+        idx_h = h // 2 - dh + jax.random.randint(k_h, (n_rays,), 0, 2 * dh)
+        idx_w = w // 2 - dw + jax.random.randint(k_w, (n_rays,), 0, 2 * dw)
+    else:
+        idx_h = jax.random.randint(k_h, (n_rays,), 0, h)
+        idx_w = jax.random.randint(k_w, (n_rays,), 0, w)
+
+    nei_h = jnp.clip(idx_h + jax.random.randint(k_bh, (n_rays,), -1, 2), 0, h - 1)
+    nei_w = jnp.clip(idx_w + jax.random.randint(k_bw, (n_rays,), -1, 2), 0, w - 1)
+    idx = jnp.concatenate([idx_h * w + idx_w, nei_h * w + nei_w])  # [2N]
+
+    c2w = jax.lax.dynamic_index_in_dim(poses, img, 0, keepdims=False)
+    d_cam = jnp.take(dirs_cam, idx, axis=0)  # [2N, 3]
+    d_world = d_cam @ c2w[:3, :3].T
+    origins = jnp.broadcast_to(c2w[:3, 3], d_world.shape)
+    viewdirs = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
+    nf = jnp.broadcast_to(
+        jnp.asarray([near, far], d_world.dtype), (*d_world.shape[:-1], 2)
+    )
+    rays = jnp.concatenate([origins, d_world, nf, viewdirs], axis=-1)
+
+    def gather(pool):
+        per_img = jax.lax.dynamic_index_in_dim(pool, img, 0, keepdims=False)
+        return jnp.take(per_img, idx, axis=0)
+
+    return RayBatch(
+        rays=rays,
+        rgb=gather(rgb_pool),
+        depth=None,
+        semantic=gather(mask_pool) if mask_pool is not None else None,
+        sem_flag=jnp.float32(0.0),
+        image_idx=img,
+    )
+
+
 def epoch_permutation_batch(
     rays_flat: jnp.ndarray,  # [num_img*H*W, 11]
     rgb_flat: jnp.ndarray,

@@ -1,0 +1,233 @@
+"""Dataset -> device bundle preparation for each dataset family.
+
+Behavioral parity targets: ``SSRTrainer.set_params_replica`` /
+``set_params_scannet`` / ``prepare_data_*`` / ``init_rays``
+(``/root/reference/SSR/training/trainer.py:61-624``) and the object
+entry's data plumbing (``object_level/run_nerf.py:671-755``): scene
+cameras (Replica: hfov 90 pinhole with cx=(W-1)/2; ScanNet: per-scene
+intrinsics, scaled centers (W_s-0.5)/2), per-image ray pools uploaded
+once, scaled vis/test ray blocks, scaled GT for eval (bilinear images/
+depth, nearest labels shifted so void = -1), and the blender path's
+white-background compositing + alpha object masks.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from intrinsicnerf_tpu.config import FrameworkConfig
+from intrinsicnerf_tpu.core.rays import camera_ray_dirs, create_rays
+from intrinsicnerf_tpu.data.blender import BlenderData, composite_white_background
+from intrinsicnerf_tpu.train.step import DataPools, PosePools
+from intrinsicnerf_tpu.train.trainer import SceneBundle
+from intrinsicnerf_tpu.utils.image import label_colormap
+
+
+def _resize_stack(imgs: np.ndarray, h: int, w: int, nearest=False) -> np.ndarray:
+    import cv2
+
+    interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
+    out = []
+    for img in imgs:
+        out.append(cv2.resize(np.asarray(img, np.float32 if not nearest else img.dtype),
+                              (w, h), interpolation=interp))
+    return np.stack(out)
+
+
+def replica_intrinsics(w: int, h: int, hfov_deg: float = 90.0):
+    fx = w / 2.0 / math.tan(math.radians(hfov_deg / 2.0))
+    return fx, fx, (w - 1.0) / 2.0, (h - 1.0) / 2.0
+
+
+def prepare_replica_bundle(cfg: FrameworkConfig, data) -> SceneBundle:
+    """``data`` is a loaded ``ReplicaDataset`` (or the NYU-CNN variant
+    with the same sample keys)."""
+    h, w = cfg.experiment.height, cfg.experiment.width
+    near, far = cfg.depth_range
+    f = cfg.test_viz_factor
+    hs, ws = h // f, w // f
+    fx, fy, cx, cy = replica_intrinsics(w, h)
+    fxs, fys, cxs, cys = replica_intrinsics(ws, hs)
+
+    train = data.train_samples
+    test = data.test_samples
+    conv = cfg.experiment.convention
+
+    rays = create_rays(
+        jnp.asarray(train["T_wc"], jnp.float32), h, w, fx, fy, cx, cy, near, far,
+        convention=conv,
+    )
+    rays_vis = create_rays(
+        jnp.asarray(train["T_wc"], jnp.float32), hs, ws, fxs, fys, cxs, cys,
+        near, far, convention=conv,
+    )
+    rays_test = create_rays(
+        jnp.asarray(test["T_wc"], jnp.float32), hs, ws, fxs, fys, cxs, cys,
+        near, far, convention=conv,
+    )
+
+    n_train = train["image"].shape[0]
+    pools = DataPools(
+        rays=rays,
+        rgb=jnp.asarray(train["image"].reshape(n_train, -1, 3), jnp.float32),
+        depth=jnp.asarray(train["depth"].reshape(n_train, -1), jnp.float32)
+        if cfg.experiment.enable_depth
+        else None,
+        semantic=jnp.asarray(train["semantic_remap"].reshape(n_train, -1))
+        if cfg.experiment.enable_semantic
+        else None,
+        mask_ids=jnp.asarray(np.asarray(data.mask_ids, np.int64)),
+    )
+
+    # scaled GT for eval; labels shifted so void -> -1 (trainer.py:247)
+    test_gt = {
+        "image": _resize_stack(test["image"], hs, ws),
+        "depth": _resize_stack(test["depth"], hs, ws),
+    }
+    if cfg.experiment.enable_semantic:
+        test_gt["semantic"] = (
+            _resize_stack(test["semantic_remap"], hs, ws, nearest=True).astype(
+                np.int64
+            )
+            - 1
+        )
+    train_gt = {"image": _resize_stack(train["image"], hs, ws)}
+
+    num_valid = (
+        data.num_semantic_class - 1 if cfg.experiment.enable_semantic else 0
+    )
+    cmap = None
+    if cfg.experiment.enable_semantic:
+        classes = getattr(data, "semantic_classes", np.arange(num_valid + 1))
+        cmap = label_colormap(int(np.max(classes)) + 2)[np.asarray(classes)]
+
+    return SceneBundle(
+        pools=pools,
+        rays_vis=rays_vis,
+        rays_test=rays_test,
+        h=h,
+        w=w,
+        h_scaled=hs,
+        w_scaled=ws,
+        num_valid_classes=num_valid,
+        test_gt=test_gt,
+        train_gt=train_gt,
+        colour_map=cmap,
+    )
+
+
+def prepare_scannet_bundle(cfg: FrameworkConfig, data) -> SceneBundle:
+    h, w = cfg.experiment.height, cfg.experiment.width
+    near, far = cfg.depth_range
+    f = cfg.test_viz_factor
+    hs, ws = h // f, w // f
+    K = data.intrinsics
+    # intrinsics refer to the native 1296x972 frame; rescale to (w, h)
+    native_h, native_w = data.train_samples["image"].shape[1:3]
+    sx, sy = w / native_w, h / native_h
+    fx, fy, cx, cy = K[0, 0] * sx, K[1, 1] * sy, K[0, 2] * sx, K[1, 2] * sy
+    fxs, fys = fx / f, fy / f
+    cxs, cys = (ws - 0.5) / 2.0, (hs - 0.5) / 2.0  # trainer.py:111-112
+
+    train, test = data.train_samples, data.test_samples
+    if train["image"].shape[1] != h:
+        for s in (train, test):
+            s["image"] = _resize_stack(s["image"], h, w)
+            s["depth"] = _resize_stack(s["depth"], h, w)
+            s["semantic_remap"] = _resize_stack(
+                s["semantic_remap"], h, w, nearest=True
+            ).astype(np.int64)
+
+    conv = cfg.experiment.convention
+    n_train = train["image"].shape[0]
+    pools = DataPools(
+        rays=create_rays(
+            jnp.asarray(train["T_wc"], jnp.float32), h, w, fx, fy, cx, cy, near,
+            far, convention=conv,
+        ),
+        rgb=jnp.asarray(train["image"].reshape(n_train, -1, 3), jnp.float32),
+        depth=jnp.asarray(train["depth"].reshape(n_train, -1), jnp.float32),
+        semantic=jnp.asarray(train["semantic_remap"].reshape(n_train, -1)),
+        mask_ids=jnp.asarray(np.asarray(data.mask_ids, np.int64)),
+    )
+    rays_vis = create_rays(
+        jnp.asarray(train["T_wc"], jnp.float32), hs, ws, fxs, fys, cxs, cys,
+        near, far, convention=conv,
+    )
+    rays_test = create_rays(
+        jnp.asarray(test["T_wc"], jnp.float32), hs, ws, fxs, fys, cxs, cys,
+        near, far, convention=conv,
+    )
+    test_gt = {
+        "image": _resize_stack(test["image"], hs, ws),
+        "depth": _resize_stack(test["depth"], hs, ws),
+        "semantic": _resize_stack(test["semantic_remap"], hs, ws, nearest=True).astype(
+            np.int64
+        )
+        - 1,
+    }
+    return SceneBundle(
+        pools=pools,
+        rays_vis=rays_vis,
+        rays_test=rays_test,
+        h=h,
+        w=w,
+        h_scaled=hs,
+        w_scaled=ws,
+        num_valid_classes=data.num_semantic_class - 1,
+        test_gt=test_gt,
+        colour_map=None,
+    )
+
+
+def prepare_blender_bundle(
+    cfg: FrameworkConfig, data: BlenderData
+) -> Tuple[SceneBundle, PosePools]:
+    """Object pipeline: white-bkgd composite (per config), alpha object
+    masks, pose-based pools.  Returns the bundle plus the PosePools the
+    pose-sampler train step consumes."""
+    near, far = cfg.depth_range
+    h, w, focal = data.h, data.w, data.focal
+    i_train, i_val, i_test = data.i_split
+
+    if cfg.render.white_bkgd:
+        images = composite_white_background(data.images)
+    else:
+        images = data.images[..., :3]
+    masks = data.images[..., 3]
+
+    dirs_cam = camera_ray_dirs(
+        h, w, focal, focal, w * 0.5, h * 0.5, convention="opengl"
+    ).reshape(-1, 3)
+    train_poses = jnp.asarray(data.poses[i_train], jnp.float32)
+    pose_pools = PosePools(
+        dirs_cam=dirs_cam,
+        poses=train_poses,
+        rgb=jnp.asarray(images[i_train].reshape(len(i_train), -1, 3), jnp.float32),
+        mask=jnp.asarray(masks[i_train].reshape(len(i_train), -1), jnp.float32),
+    )
+
+    rays_test = create_rays(
+        jnp.asarray(data.poses[i_test], jnp.float32), h, w, focal, focal,
+        w * 0.5, h * 0.5, near, far, convention="opengl",
+    )
+    rays_vis = create_rays(
+        jnp.asarray(data.render_poses, jnp.float32), h, w, focal, focal,
+        w * 0.5, h * 0.5, near, far, convention="opengl",
+    )
+    bundle = SceneBundle(
+        pools=pose_pools,
+        rays_vis=rays_vis,
+        rays_test=rays_test,
+        h=h,
+        w=w,
+        h_scaled=h,
+        w_scaled=w,
+        num_valid_classes=0,
+        test_gt={"image": np.asarray(images[i_test], np.float32)},
+    )
+    return bundle, pose_pools

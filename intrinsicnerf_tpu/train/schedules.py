@@ -49,7 +49,8 @@ def cluster_anneal(
     b_f_cap: float = 1.0,
 ):
     """(w_c, b_f) at a cluster rebuild (python floats, host-side)."""
-    n = float(global_step - vis_every) / float(n_iters - vis_every * 2)
+    denom = float(n_iters - vis_every * 2)
+    n = float(global_step - vis_every) / denom if denom != 0 else 1.0
     w_c = min(0.1 ** (2.0 - 2.0 * n), 1.0)
     b_f = min(0.5 ** (2.0 - 2.0 * n), b_f_cap)
     return w_c, b_f

@@ -86,6 +86,16 @@ class DataPools(NamedTuple):
     mask_ids: Optional[jnp.ndarray] = None  # [I]
 
 
+class PosePools(NamedTuple):
+    """Object-pipeline pools: rays built on the fly from poses (O(HW)
+    instead of O(I*HW*11) memory)."""
+
+    dirs_cam: jnp.ndarray  # [H*W, 3]
+    poses: jnp.ndarray  # [I, 4, 4]
+    rgb: jnp.ndarray  # [I, H*W, 3]
+    mask: Optional[jnp.ndarray] = None  # [I, H*W] object mask (alpha)
+
+
 class LossReport(NamedTuple):
     total: jnp.ndarray
     img_coarse: jnp.ndarray
@@ -131,10 +141,13 @@ def make_train_step(
     h: int,
     w: int,
     axis_name: Optional[str] = None,
+    sample_fn=None,
 ):
     """Build the (un-jitted) step function; callers wrap it in jit or
     shard_map.  ``axis_name`` set -> gradients/metrics are psum'd over
-    that mesh axis (multi-chip data parallelism)."""
+    that mesh axis (multi-chip data parallelism).  ``sample_fn(key,
+    pools, step) -> RayBatch`` overrides the default pool sampler (the
+    object pipeline uses the pose-based one with precrop)."""
 
     def loss_terms(maps, batch, w_res, w_i, cluster_target, w_c):
         img = img2mse(maps.rgb, batch.rgb)
@@ -196,17 +209,20 @@ def make_train_step(
         key = jax.random.fold_in(key, step)
         k_sample, k_render = jax.random.split(key)
 
-        batch = sample_ray_pairs(
-            k_sample,
-            pools.rays,
-            pools.rgb,
-            h,
-            w,
-            tcfg.n_rays,
-            depth_pool=pools.depth,
-            sem_pool=pools.semantic,
-            mask_ids=pools.mask_ids,
-        )
+        if sample_fn is not None:
+            batch = sample_fn(k_sample, pools, step)
+        else:
+            batch = sample_ray_pairs(
+                k_sample,
+                pools.rays,
+                pools.rgb,
+                h,
+                w,
+                tcfg.n_rays,
+                depth_pool=pools.depth,
+                sem_pool=pools.semantic,
+                mask_ids=pools.mask_ids,
+            )
 
         w_res, w_i = loss_weight_schedule(
             step,

@@ -1,0 +1,388 @@
+"""High-level training orchestration (scene + object pipelines).
+
+Behavioral parity target: ``SSRTrainer``
+(``/root/reference/SSR/training/trainer.py``) and the object-level
+``train()`` loop (``object_level/run_nerf.py:664-1132``): the periodic
+work cadence (TB scalars @1k, ckpt @10k, train-view render + cluster
+rebuild with annealed w_c/b_f @10k, test render + PSNR/mIoU/depth eval
+@50k), full-image renders of every modality with the reference's file
+naming (``rgb_%03d.png``, ``albedo_``, ``shading_``, ``residual_``,
+``disp_``, ``depth_`` (mm uint16), ``vis_depth_``, ``label_``,
+``vis_label_``, ``entropy_``, ``vis_entropy_``, clustered ``c%03d.png``
+and recomposed ``edit%03d.png``), and cluster palette persistence.
+
+TPU-first: the hot loop is the jitted fused step from ``train/step.py``
+(donated state, device-resident pools); full-image eval renders are
+compiled ``lax.map`` chunk scans; only cluster *rebuilds* (every 10k
+steps) and image IO touch the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from intrinsicnerf_tpu.cluster.assign import (
+    ClusterTable,
+    dest_color_chunked,
+    empty_cluster_table,
+)
+from intrinsicnerf_tpu.cluster.manager import ClusterManager
+from intrinsicnerf_tpu.config import FrameworkConfig
+from intrinsicnerf_tpu.core.losses import semantic_entropy
+from intrinsicnerf_tpu.core.metrics import (
+    calculate_depth_metrics,
+    calculate_segmentation_metrics,
+    psnr_np,
+)
+from intrinsicnerf_tpu.models.mlp import MLPConfig
+from intrinsicnerf_tpu.render.pipeline import render_rays_chunked
+from intrinsicnerf_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from intrinsicnerf_tpu.train.logging_utils import TBLogger
+from intrinsicnerf_tpu.train.schedules import cluster_anneal, make_lr_schedule
+from intrinsicnerf_tpu.train.step import (
+    DataPools,
+    TrainState,
+    create_train_state,
+    make_train_step,
+)
+from intrinsicnerf_tpu.utils.image import depth2rgb, label_colormap, to8b
+
+
+@dataclasses.dataclass
+class SceneBundle:
+    """Prepared, device-ready training data for one scene/object."""
+
+    pools: DataPools  # full-res train pools
+    rays_vis: jnp.ndarray  # [num_train, Hs*Ws, 11] scaled train rays
+    rays_test: jnp.ndarray  # [num_test, Hs*Ws, 11]
+    h: int
+    w: int
+    h_scaled: int
+    w_scaled: int
+    num_valid_classes: int  # semantic classes excl. void (0 when disabled)
+    test_gt: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    train_gt: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    colour_map: Optional[np.ndarray] = None  # [C+1, 3] incl. void row
+
+
+def _save_img(path, arr):
+    import imageio.v2 as imageio
+
+    imageio.imwrite(path, arr)
+
+
+def make_object_sample_fn(cfg: FrameworkConfig, bundle: "SceneBundle"):
+    """Pose-based pair sampler with precrop warmup for the object
+    pipeline (run_nerf.py:887-938)."""
+    from intrinsicnerf_tpu.data.samplers import sample_ray_pairs_from_poses
+
+    near, far = cfg.depth_range
+    h, w = bundle.h, bundle.w
+    n_rays = cfg.train.n_rays
+    precrop_iters = cfg.precrop_iters
+    precrop_frac = cfg.precrop_frac
+
+    def sample_fn(key, pools, step):
+        crop = None
+        if precrop_iters > 0:
+            crop = jnp.where(step < precrop_iters, precrop_frac, 1.0)
+        return sample_ray_pairs_from_poses(
+            key, pools.dirs_cam, pools.poses, pools.rgb, h, w, n_rays,
+            near, far, mask_pool=pools.mask, crop_frac=crop,
+        )
+
+    return sample_fn
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: FrameworkConfig,
+        bundle: SceneBundle,
+        seed: int = 0,
+        sample_fn=None,
+    ):
+        self.cfg = cfg
+        self.bundle = bundle
+        self.save_dir = cfg.experiment.save_dir
+        os.makedirs(self.save_dir, exist_ok=True)
+        self.logger = TBLogger(os.path.join(self.save_dir, "tfb_logs"), cfg.raw)
+
+        self.mcfg: MLPConfig = dataclasses.replace(
+            cfg.mlp, num_semantic_classes=bundle.num_valid_classes
+        )
+        if bundle.num_valid_classes == 0:
+            self.mcfg = dataclasses.replace(self.mcfg, enable_semantic=False)
+
+        self.optimizer = optax.adam(
+            make_lr_schedule(cfg.train.lrate, cfg.train.lrate_decay)
+        )
+        self.state: TrainState = create_train_state(
+            jax.random.key(seed), self.mcfg, cfg.train, self.optimizer
+        )
+        self.step_fn = jax.jit(
+            make_train_step(
+                self.mcfg, cfg.render, cfg.train, self.optimizer, bundle.h,
+                bundle.w, sample_fn=sample_fn,
+            ),
+            donate_argnums=(0,),
+        )
+        self.key = jax.random.key(seed + 1)
+
+        self.n_table_classes = max(
+            1,
+            1 if cfg.train.no_semantic_tree else bundle.num_valid_classes,
+        )
+        self.cluster_manager: Optional[ClusterManager] = None
+        self.table: ClusterTable = empty_cluster_table(self.n_table_classes)
+        self.w_c = 0.01
+        self.b_f = 0.25
+
+        self._render = jax.jit(
+            lambda pc, pf, rays: render_rays_chunked(
+                pc, pf, self.mcfg, rays, dataclasses.replace(cfg.render),
+                chunk=self._eval_chunk(),
+            )
+        )
+        self.global_step = 0
+
+    # ------------------------------------------------------------- misc
+
+    def _eval_chunk(self) -> int:
+        hw = self.bundle.h_scaled * self.bundle.w_scaled
+        chunk = min(self.cfg.chunk, hw)
+        while hw % chunk:
+            chunk -= 1
+        return chunk
+
+    def maybe_resume(self) -> int:
+        ckpt_dir = os.path.join(self.save_dir, "checkpoints")
+        restored = restore_checkpoint(ckpt_dir, self.state)
+        if restored is not None:
+            self.state = restored
+            self.global_step = int(restored.step)
+            print(f"resumed from step {self.global_step}")
+        return self.global_step
+
+    # ------------------------------------------------------------- train
+
+    def fit(self, n_iters: Optional[int] = None, progress: bool = True):
+        n_iters = n_iters or self.cfg.train.n_iters
+        log = self.cfg.logging
+        it = range(self.global_step, n_iters)
+        if progress:
+            from tqdm import trange
+
+            it = trange(self.global_step, n_iters, initial=self.global_step)
+        t0 = time.time()
+        report = None
+        for i in it:
+            self.global_step = i
+            self.state, report = self.step_fn(
+                self.state, self.bundle.pools, self.table, jnp.float32(self.w_c),
+                self.key,
+            )
+            if (i + 1) % log.step_log_tfb == 0:
+                self._log_scalars(i + 1, report, time.time() - t0)
+                t0 = time.time()
+            if (i + 1) % log.step_save_ckpt == 0:
+                save_checkpoint(
+                    os.path.join(self.save_dir, "checkpoints"), self.state, i + 1
+                )
+            if (i + 1) % log.step_vis_train == 0 and not self.cfg.train.no_cluster:
+                self.rebuild_clusters(i + 1)
+            if (i + 1) % log.step_val == 0:
+                self.evaluate(i + 1)
+        return report
+
+    def _log_scalars(self, step, report, dt):
+        vals = {f"Train/Loss/{k}": float(v) for k, v in report._asdict().items()}
+        vals["Train/steps_per_s"] = self.cfg.logging.step_log_tfb / max(dt, 1e-9)
+        self.logger.scalars(step, vals)
+
+    # ------------------------------------------------------- full renders
+
+    def render_views(self, rays_all: jnp.ndarray):
+        """Render every view in ``rays_all [N, HW, 11]``; yields per-view
+        dicts of numpy maps at the scaled resolution."""
+        hs, ws = self.bundle.h_scaled, self.bundle.w_scaled
+        for i in range(rays_all.shape[0]):
+            out = self._render(
+                self.state.params_coarse, self.state.params_fine, rays_all[i]
+            )
+            maps = out.fine if out.fine is not None else out.coarse
+            view = {
+                "rgb": np.asarray(maps.rgb).reshape(hs, ws, 3),
+                "disp": np.asarray(maps.disp).reshape(hs, ws),
+                "depth": np.asarray(maps.depth).reshape(hs, ws),
+                "acc": np.asarray(maps.acc).reshape(hs, ws),
+                "albedo": np.asarray(maps.albedo).reshape(hs, ws, 3),
+                "shading": np.asarray(maps.shading).reshape(hs, ws),
+                "residual": np.asarray(maps.residual).reshape(hs, ws, 3),
+            }
+            if maps.sem_logits is not None:
+                logits = maps.sem_logits
+                view["sem_label"] = np.asarray(
+                    jnp.argmax(logits, axis=-1)
+                ).reshape(hs, ws)
+                view["sem_entropy"] = np.asarray(
+                    semantic_entropy(logits)
+                ).reshape(hs, ws)
+            yield view
+
+    def _save_view(self, save_dir: str, i: int, view: Dict[str, np.ndarray]):
+        near, far = self.cfg.depth_range
+        _save_img(os.path.join(save_dir, f"rgb_{i:03d}.png"), to8b(view["rgb"]))
+        _save_img(os.path.join(save_dir, f"albedo_{i:03d}.png"), to8b(view["albedo"]))
+        _save_img(
+            os.path.join(save_dir, f"shading_{i:03d}.png"), to8b(view["shading"])
+        )
+        _save_img(
+            os.path.join(save_dir, f"residual_{i:03d}.png"), to8b(view["residual"])
+        )
+        _save_img(
+            os.path.join(save_dir, f"disp_{i:03d}.png"),
+            np.clip(np.nan_to_num(view["disp"]), 0, 65535).astype(np.uint16),
+        )
+        _save_img(
+            os.path.join(save_dir, f"depth_{i:03d}.png"),
+            (view["depth"] * 1000).astype(np.uint16),
+        )
+        _save_img(
+            os.path.join(save_dir, f"vis_depth_{i:03d}.png"),
+            depth2rgb(view["depth"], min_value=near, max_value=far),
+        )
+        if "sem_label" in view:
+            cmap = self.bundle.colour_map
+            if cmap is None:
+                cmap = label_colormap(self.bundle.num_valid_classes + 1)
+            vis_sem = cmap[1:][view["sem_label"]].astype(np.uint8)
+            _save_img(
+                os.path.join(save_dir, f"label_{i:03d}.png"),
+                view["sem_label"].astype(np.uint8),
+            )
+            _save_img(os.path.join(save_dir, f"vis_label_{i:03d}.png"), vis_sem)
+            _save_img(
+                os.path.join(save_dir, f"entropy_{i:03d}.png"),
+                to8b(view["sem_entropy"]),
+            )
+            _save_img(
+                os.path.join(save_dir, f"vis_entropy_{i:03d}.png"),
+                depth2rgb(view["sem_entropy"]),
+            )
+
+    # ----------------------------------------------------- cluster loop
+
+    def rebuild_clusters(self, step: int, save: bool = True):
+        """Render all train views, rebuild the reflectance clusters with
+        annealed (w_c, b_f), swap in the new device table, and write the
+        clustered/recomposed previews."""
+        cfg = self.cfg
+        self.w_c, self.b_f = cluster_anneal(
+            step, cfg.logging.step_vis_train, cfg.train.n_iters, cfg.b_f_cap
+        )
+        save_dir = os.path.join(self.save_dir, "train_render", f"step_{step:06d}")
+        os.makedirs(save_dir, exist_ok=True)
+
+        pixels, labels, views = [], [], []
+        for i, view in enumerate(self.render_views(self.bundle.rays_vis)):
+            if save:
+                self._save_view(save_dir, i, view)
+            albedo_sub = view["albedo"][::2, ::2, :]
+            if "sem_label" in view and not cfg.train.no_semantic_tree:
+                lab_sub = view["sem_label"][::2, ::2]
+            else:
+                lab_sub = np.zeros(albedo_sub.shape[:2], np.int64)
+            pixels.append(albedo_sub.reshape(-1, 3))
+            labels.append(lab_sub.reshape(-1))
+            views.append(view)
+
+        mgr = ClusterManager(class_num=self.n_table_classes)
+        tic = time.time()
+        mgr.update_centers(
+            np.concatenate(labels), np.concatenate(pixels), band_factor=self.b_f
+        )
+        print(f"cluster rebuild @{step}: {time.time()-tic:.1f}s "
+              f"(w_c={self.w_c:.3g}, b_f={self.b_f:.3g})")
+        self.cluster_manager = mgr
+        self.table = mgr.to_table()
+        if save:
+            mgr.save(os.path.join(save_dir, "cluster"))
+            self._save_cluster_previews(save_dir, views)
+
+    def _save_cluster_previews(self, save_dir: str, views):
+        """c%03d.png (clustered albedo) and edit%03d.png (recomposed)."""
+        for i, view in enumerate(views):
+            hs, ws = view["albedo"].shape[:2]
+            albedo = jnp.asarray(view["albedo"].reshape(-1, 3))
+            label = jnp.asarray(
+                view.get(
+                    "sem_label", np.zeros((hs, ws), np.int64)
+                ).reshape(-1)
+                if not self.cfg.train.no_semantic_tree
+                else np.zeros(hs * ws, np.int64)
+            )
+            clustered = np.asarray(
+                dest_color_chunked(self.table, albedo, label)
+            ).reshape(hs, ws, 3)
+            _save_img(os.path.join(save_dir, f"c{i:03d}.png"), to8b(clustered))
+            edit = (
+                clustered.reshape(-1, 3) * view["shading"].reshape(-1, 1)
+                + view["residual"].reshape(-1, 3)
+            ).reshape(hs, ws, 3)
+            _save_img(os.path.join(save_dir, f"edit{i:03d}.png"), to8b(edit))
+
+    # ------------------------------------------------------------- eval
+
+    def evaluate(self, step: int, save: bool = True) -> Dict[str, float]:
+        """Render the test views, compute PSNR / depth / mIoU suites."""
+        save_dir = os.path.join(self.save_dir, "test_render", f"step_{step:06d}")
+        if save:
+            os.makedirs(save_dir, exist_ok=True)
+        gt = self.bundle.test_gt
+        psnrs, depth_preds, sem_preds = [], [], []
+        for i, view in enumerate(self.render_views(self.bundle.rays_test)):
+            if save:
+                self._save_view(save_dir, i, view)
+            if "image" in gt:
+                psnrs.append(psnr_np(view["rgb"], gt["image"][i]))
+            depth_preds.append(view["depth"])
+            if "sem_label" in view:
+                sem_preds.append(view["sem_label"])
+
+        metrics: Dict[str, float] = {}
+        if psnrs:
+            metrics["psnr"] = float(np.mean(psnrs))
+        if "depth" in gt and depth_preds:
+            metrics.update(
+                calculate_depth_metrics(
+                    np.stack([gt["depth"][i] for i in range(len(depth_preds))]),
+                    np.stack(depth_preds),
+                )
+            )
+        if "semantic" in gt and sem_preds:
+            miou, miou_valid, acc, cls_acc, _ = calculate_segmentation_metrics(
+                np.stack([gt["semantic"][i] for i in range(len(sem_preds))]),
+                np.stack(sem_preds),
+                self.bundle.num_valid_classes,
+                ignore_label=-1,
+            )
+            metrics.update(
+                {
+                    "miou": miou,
+                    "miou_valid_class": miou_valid,
+                    "total_acc": acc,
+                    "class_avg_acc": cls_acc,
+                }
+            )
+        self.logger.scalars(step, {f"Test/{k}": v for k, v in metrics.items()})
+        print(f"eval @{step}: " + ", ".join(f"{k}={v:.4g}" for k, v in metrics.items()))
+        return metrics

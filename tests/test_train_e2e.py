@@ -1,0 +1,224 @@
+"""End-to-end CLI training tests: tiny synthetic datasets through the
+real entry points, exercising the trainer loop, cluster rebuild, eval,
+checkpointing and render outputs."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _write_png(path, arr):
+    import imageio.v2 as imageio
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    imageio.imwrite(path, arr)
+
+
+@pytest.fixture
+def tiny_blender(tmp_path, rng):
+    """8x8 blender dataset: a colored quad-ish blob on transparency."""
+    h = w = 16
+    root = tmp_path / "data"
+    for split, n in (("train", 4), ("val", 1), ("test", 2)):
+        frames = []
+        for i in range(n):
+            img = np.zeros((h, w, 4), np.uint8)
+            img[4:12, 4:12, :3] = [200, 120, 60]
+            img[4:12, 4:12, 3] = 255
+            _write_png(str(root / split / f"r_{i}.png"), img)
+            th = (i / max(n, 1)) * 60.0
+            from intrinsicnerf_tpu.data.blender import pose_spherical
+
+            pose = pose_spherical(th, -30.0, 4.0)
+            frames.append(
+                {
+                    "file_path": f"./{split}/r_{i}",
+                    "transform_matrix": np.asarray(pose).tolist(),
+                }
+            )
+        (root / f"transforms_{split}.json").write_text(
+            json.dumps({"camera_angle_x": 0.6911, "frames": frames})
+        )
+    return root
+
+
+def _cfg_txt(tmp_path, root, **kw):
+    cfg = {
+        "expname": "tiny",
+        "basedir": str(tmp_path / "logs"),
+        "datadir": str(root),
+        "dataset_type": "blender",
+        "netdepth": 3,
+        "netwidth": 32,
+        "N_rand": 16,
+        "N_samples": 8,
+        "N_importance": 8,
+        "multires": 4,
+        "multires_views": 2,
+        "white_bkgd": True,
+        "i_testset": 30,
+        "i_weights": 30,
+        "precrop_iters": 10,
+        "precrop_frac": 0.5,
+        "testskip": 1,
+        "N_iters": 60,
+    }
+    cfg.update(kw)
+    path = tmp_path / "cfg.txt"
+    path.write_text("".join(f"{k} = {v}\n" for k, v in cfg.items()))
+    return path
+
+
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    PALLAS_AXON_POOL_IPS="",
+    XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+)
+
+
+def test_object_cli_end_to_end(tiny_blender, tmp_path):
+    cfg = _cfg_txt(tmp_path, tiny_blender)
+    repo = ENV["PYTHONPATH"]
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "train_object.py"),
+         "--config", str(cfg), "--no_progress"],
+        capture_output=True, text=True, env=ENV, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "training complete" in out.stdout
+
+    logdir = tmp_path / "logs" / "tiny"
+    # periodic artifacts: train render + cluster + test eval + ckpt
+    train_dirs = sorted((logdir / "train_render").glob("step_*"))
+    assert train_dirs, "no train renders written"
+    last = train_dirs[-1]
+    for pattern in ("rgb_000.png", "albedo_000.png", "shading_000.png",
+                    "residual_000.png", "depth_000.png", "c000.png",
+                    "edit000.png"):
+        assert (last / pattern).exists(), f"missing {pattern}"
+    # reference-format cluster palette
+    cj = last / "cluster" / "clusters.json"
+    assert cj.exists()
+    data = json.loads(cj.read_text())
+    assert data["class_num"] == 1
+    assert (last / "cluster" / "c0" / "config.json").exists()
+    # checkpoints written
+    assert (logdir / "checkpoints").exists()
+    # eval ran
+    assert "eval @" in out.stdout
+
+
+def test_object_cli_render_only(tiny_blender, tmp_path):
+    cfg = _cfg_txt(tmp_path, tiny_blender, N_iters=60)
+    repo = ENV["PYTHONPATH"]
+    # train briefly first so a checkpoint exists
+    r1 = subprocess.run(
+        [sys.executable, os.path.join(repo, "train_object.py"),
+         "--config", str(cfg), "--n_iters", "31", "--no_progress"],
+        capture_output=True, text=True, env=ENV, timeout=900,
+    )
+    assert r1.returncode == 0, r1.stderr[-3000:]
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(repo, "train_object.py"),
+         "--config", str(cfg), "--render_only", "--render_test"],
+        capture_output=True, text=True, env=ENV, timeout=900,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "renders written" in r2.stdout
+    logdir = tmp_path / "logs" / "tiny"
+    rdirs = sorted(logdir.glob("renderonly_test_*"))
+    assert rdirs and (rdirs[-1] / "rgb_000.png").exists()
+    # resumed from the step-30 checkpoint
+    assert "resumed from step" in r2.stdout
+
+
+@pytest.fixture
+def tiny_replica(tmp_path, rng):
+    h, w, n = 12, 16, 8
+    root = tmp_path / "replica"
+    traj = []
+    for i in range(n):
+        rgb = np.zeros((h, w, 3), np.uint8)
+        rgb[:, : w // 2] = [180, 60, 40]
+        rgb[:, w // 2 :] = [40, 120, 200]
+        depth = np.full((h, w), 2500, np.uint16)
+        sem = np.zeros((h, w), np.uint8)
+        sem[:, : w // 2] = 3
+        sem[:, w // 2 :] = 7
+        _write_png(str(root / "rgb" / f"rgb_{i}.png"), rgb)
+        _write_png(str(root / "depth" / f"depth_{i}.png"), depth)
+        _write_png(str(root / "semantic_class" / f"semantic_class_{i}.png"), sem)
+        pose = np.eye(4)
+        pose[2, 3] = -3.0 - 0.05 * i
+        traj.append(pose.reshape(-1))
+    np.savetxt(str(root / "traj_w_c.txt"), np.stack(traj), delimiter=" ")
+    return root
+
+
+def test_scene_cli_end_to_end(tiny_replica, tmp_path):
+    import yaml
+
+    cfg = {
+        "experiment": {
+            "save_dir": str(tmp_path / "logs" / "scene"),
+            "dataset_dir": str(tiny_replica),
+            "dataset_type": "replica",
+            "convention": "opencv",
+            "width": 16,
+            "height": 12,
+            "enable_semantic": True,
+            "enable_depth": True,
+        },
+        "model": {"netdepth": 3, "netwidth": 32, "chunk": 1024, "netchunk": 1024},
+        "render": {
+            "N_rays": 16,
+            "N_samples": 8,
+            "N_importance": 8,
+            "perturb": 1,
+            "use_viewdirs": True,
+            "multires": 4,
+            "multires_views": 2,
+            "raw_noise_std": 1,
+            "test_viz_factor": 1,
+            "depth_range": [0.1, 10.0],
+            "white_bkgd": False,
+        },
+        "train": {
+            "lrate": "5e-4", "lrate_decay": "250e3", "N_iters": 60,
+            "wgt_sem": 0.04, "w_n": 0.01, "w_f": 0.005, "w_i1": 0.1,
+            "w_i2": 0.01, "no_cluster": False, "no_semantic_tree": False,
+            "no_intrinsic_loss": False,
+        },
+        "logging": {
+            "step_log_print": 20, "step_log_tfb": 20, "step_save_ckpt": 30,
+            "step_val": 50, "step_vis_train": 30,
+        },
+    }
+    cfg_path = tmp_path / "scene.yaml"
+    cfg_path.write_text(yaml.dump(cfg))
+    repo = ENV["PYTHONPATH"]
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "train_scene.py"),
+         "--config_file", str(cfg_path), "--total_frames", "8",
+         "--split_step", "4", "--no_progress"],
+        capture_output=True, text=True, env=ENV, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "training complete" in out.stdout
+    logdir = tmp_path / "logs" / "scene"
+    train_dirs = sorted((logdir / "train_render").glob("step_*"))
+    assert train_dirs
+    last = train_dirs[-1]
+    # semantic modalities present for the scene pipeline
+    for pattern in ("rgb_000.png", "label_000.png", "vis_label_000.png",
+                    "entropy_000.png", "c000.png", "edit000.png"):
+        assert (last / pattern).exists(), f"missing {pattern}"
+    # eval metrics computed (psnr/miou/depth)
+    assert "psnr=" in out.stdout and "miou=" in out.stdout
+    assert (last / "cluster" / "clusters.json").exists()

@@ -1,0 +1,123 @@
+"""Object-level training entry (Blender / Blender-intrinsic / LLFF).
+
+Behavioral parity target: ``object_level/run_nerf.py``: txt config +
+CLI overrides, blender white-background compositing with the alpha
+channel as the intrinsic-loss object mask, precrop warmup, 200k-iter
+training with periodic render_path + single-class cluster rebuild, and
+``--render_only`` / ``--render_test`` modes.
+
+Usage:
+  python train_object.py --config configs/chair.txt
+  python train_object.py --config configs/lego.txt --render_only
+"""
+
+import argparse
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--expname", type=str, default=None)
+    parser.add_argument("--render_only", action="store_true")
+    parser.add_argument("--render_test", action="store_true")
+    parser.add_argument("--n_iters", type=int, default=None)
+    parser.add_argument("--no_progress", action="store_true")
+    # loss-weight overrides (run.sh style: --w_s 10.0 --w_f 0.01)
+    for k in ("w_r", "w_f", "w_s", "w_res1", "w_res2", "w_i1", "w_i2", "w_c"):
+        parser.add_argument(f"--{k}", type=float, default=None)
+    args = parser.parse_args()
+
+    overrides = {}
+    for k in ("w_r", "w_f", "w_s", "w_res1", "w_res2", "w_i1", "w_i2"):
+        v = getattr(args, k)
+        if v is not None:
+            overrides[k] = v
+    if args.expname:
+        overrides["expname"] = args.expname
+
+    from intrinsicnerf_tpu.config import from_object_txt
+    from intrinsicnerf_tpu.train.prepare import prepare_blender_bundle
+    from intrinsicnerf_tpu.train.trainer import Trainer, make_object_sample_fn
+
+    cfg = from_object_txt(args.config, overrides)
+    dstype = cfg.experiment.dataset_type
+
+    if dstype == "blender":
+        from intrinsicnerf_tpu.data.blender import load_blender_data
+
+        data = load_blender_data(
+            cfg.experiment.dataset_dir, half_res=cfg.half_res, testskip=cfg.testskip
+        )
+    elif dstype == "blender_intrinsic":
+        from intrinsicnerf_tpu.data.blender import load_blender_intrinsic_data
+
+        data = load_blender_intrinsic_data(
+            cfg.experiment.dataset_dir, half_res=cfg.half_res, testskip=cfg.testskip
+        )
+    elif dstype == "llff":
+        data = _llff_as_blender(cfg)
+    else:
+        raise ValueError(f"unknown object dataset_type: {dstype}")
+
+    bundle, _ = prepare_blender_bundle(cfg, data)
+    sample_fn = make_object_sample_fn(cfg, bundle)
+    trainer = Trainer(cfg, bundle, sample_fn=sample_fn)
+    trainer.maybe_resume()
+
+    if args.render_only:
+        save_dir = os.path.join(
+            cfg.experiment.save_dir,
+            f"renderonly_{'test' if args.render_test else 'path'}_{trainer.global_step:06d}",
+        )
+        os.makedirs(save_dir, exist_ok=True)
+        rays = bundle.rays_test if args.render_test else bundle.rays_vis
+        for i, view in enumerate(trainer.render_views(rays)):
+            trainer._save_view(save_dir, i, view)
+        print(f"renders written to {save_dir}")
+        return
+
+    trainer.fit(n_iters=args.n_iters, progress=not args.no_progress)
+    print("training complete")
+
+
+def _llff_as_blender(cfg):
+    """Adapt LLFFData to the BlenderData interface the bundle builder
+    expects (central-view holdout, llffhold=8)."""
+    import numpy as np
+
+    from intrinsicnerf_tpu.data.blender import BlenderData
+    from intrinsicnerf_tpu.data.llff import load_llff_data
+
+    raw = cfg.raw
+    llff = load_llff_data(
+        cfg.experiment.dataset_dir,
+        factor=int(raw.get("factor", 8)),
+        spherify=bool(raw.get("spherify", False)),
+    )
+    n = llff.images.shape[0]
+    hold = int(raw.get("llffhold", 8))
+    i_test = np.arange(n)[::hold] if hold > 0 else np.array([llff.i_test])
+    i_train = np.array([i for i in range(n) if i not in i_test])
+
+    def to44(p):  # [3,5] -> [4,4]
+        out = np.tile(np.eye(4, dtype=np.float32), (p.shape[0], 1, 1))
+        out[:, :3, :4] = p[:, :3, :4]
+        return out
+
+    rgba = np.concatenate(
+        [llff.images, np.ones_like(llff.images[..., :1])], axis=-1
+    )
+    return BlenderData(
+        images=rgba,
+        poses=to44(llff.poses),
+        render_poses=to44(llff.render_poses),
+        h=llff.h,
+        w=llff.w,
+        focal=llff.focal,
+        i_split=[i_train, i_test, i_test],
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Scene-level training entry (Replica / ScanNet / Replica-NYU-CNN).
+
+Behavioral parity target: ``train_SSR_main.py``: YAML config + argparse
+mode flags (sparse-view / pixel-noise / super-resolution / label
+propagation experiments), every-5th train/test split for Replica,
+then the training loop with periodic eval/cluster/ckpt work.
+
+Usage:
+  python train_scene.py --config_file SSR_room0_config.yaml
+  python train_scene.py --config_file cfg.yaml --sparse_views --sparse_ratio 0.5
+"""
+
+import argparse
+
+import numpy as np
+
+
+def build_dataset(cfg, args):
+    from intrinsicnerf_tpu.data import degradations
+    from intrinsicnerf_tpu.data.replica import default_replica_split, load_replica
+
+    dstype = cfg.experiment.dataset_type
+    if dstype == "replica":
+        total = args.total_frames
+        train_ids, test_ids = default_replica_split(total, args.split_step)
+        data = load_replica(
+            cfg.experiment.dataset_dir,
+            train_ids,
+            test_ids,
+            img_h=cfg.experiment.height,
+            img_w=cfg.experiment.width,
+        )
+    elif dstype == "scannet":
+        from intrinsicnerf_tpu.data.scannet import load_scannet
+
+        data = load_scannet(
+            cfg.experiment.dataset_dir,
+            cfg.experiment.scene_name,
+            mode=cfg.experiment.nyu_mode if cfg.experiment.nyu_mode != "nyu34" else "nyu40",
+            img_h=cfg.experiment.height,
+            img_w=cfg.experiment.width,
+        )
+    elif dstype == "replica_nyu_cnn":
+        from intrinsicnerf_tpu.data.replica_nyu import load_replica_nyu_cnn
+
+        train_ids, test_ids = default_replica_split(
+            args.total_frames, args.split_step
+        )
+        data = load_replica_nyu_cnn(
+            cfg.experiment.dataset_dir,
+            train_ids,
+            test_ids,
+            nyu_mode=cfg.experiment.nyu_mode,
+            img_h=cfg.experiment.height,
+            img_w=cfg.experiment.width,
+        )
+    else:
+        raise ValueError(f"unknown scene dataset_type: {dstype}")
+
+    # experiment degradation modes (train_SSR_main.py:27-67)
+    if args.sparse_views:
+        degradations.sample_label_maps(
+            data, sparse_ratio=args.sparse_ratio, random_sample=args.random_sample
+        )
+    if args.pixel_denoising:
+        degradations.add_pixel_wise_noise_label(
+            data, noise_ratio=args.pixel_noise_ratio
+        )
+    if args.super_resolution:
+        degradations.super_resolve_label(data, down_scale_factor=args.dense_sr)
+    if args.label_propagation:
+        degradations.simulate_user_click_partial(data, perc=args.partial_perc)
+    return data
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config_file", type=str, required=True)
+    parser.add_argument("--gpu", type=str, default="")  # accepted for parity
+    parser.add_argument("--n_iters", type=int, default=None)
+    parser.add_argument("--total_frames", type=int, default=900)
+    parser.add_argument("--split_step", type=int, default=5)
+    # degradation experiment flags
+    parser.add_argument("--sparse_views", action="store_true")
+    parser.add_argument("--sparse_ratio", type=float, default=0.0)
+    parser.add_argument("--random_sample", action="store_true")
+    parser.add_argument("--pixel_denoising", action="store_true")
+    parser.add_argument("--pixel_noise_ratio", type=float, default=0.0)
+    parser.add_argument("--super_resolution", action="store_true")
+    parser.add_argument("--dense_sr", type=int, default=8)
+    parser.add_argument("--label_propagation", action="store_true")
+    parser.add_argument("--partial_perc", type=float, default=0.0)
+    parser.add_argument("--no_progress", action="store_true")
+    args = parser.parse_args()
+
+    from intrinsicnerf_tpu.config import from_yaml
+    from intrinsicnerf_tpu.train.prepare import (
+        prepare_replica_bundle,
+        prepare_scannet_bundle,
+    )
+    from intrinsicnerf_tpu.train.trainer import Trainer
+
+    cfg = from_yaml(args.config_file)
+    data = build_dataset(cfg, args)
+
+    if cfg.experiment.dataset_type == "scannet":
+        bundle = prepare_scannet_bundle(cfg, data)
+    else:
+        bundle = prepare_replica_bundle(cfg, data)
+
+    trainer = Trainer(cfg, bundle)
+    trainer.maybe_resume()
+    trainer.fit(n_iters=args.n_iters, progress=not args.no_progress)
+    print("training complete")
+
+
+if __name__ == "__main__":
+    main()
