@@ -1,0 +1,167 @@
+"""Interactive recoloring/relighting GUI over rendered decompositions.
+
+Behavioral parity target: ``/root/reference/gui.py`` (and its
+``gui_obj.py`` twin): Tkinter app that loads a render directory's
+intrinsic decompositions plus a saved cluster palette, lets the user
+click a pixel to select its (semantic class, albedo cluster), edit that
+cluster's color with RGB sliders, scale shading/residual globally with
+a gamma toggle, and save edited frames / record a video.
+
+All editing logic lives in ``intrinsicnerf_tpu.tools.editing`` (tested
+headless); this file is the Tk view.
+
+Usage:
+  python gui.py --img_dir logs/x/train_render/step_200000 \
+                --cluster_config logs/x/train_render/step_200000/cluster
+"""
+
+import argparse
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--img_dir", required=True)
+    parser.add_argument("--cluster_config", required=True)
+    parser.add_argument("--frame", type=int, default=0)
+    args = parser.parse_args()
+
+    import tkinter as tk
+
+    import numpy as np
+    from PIL import Image, ImageTk
+
+    from intrinsicnerf_tpu.tools.editing import EditSession
+
+    session = EditSession(args.img_dir, args.cluster_config)
+    frame_ids = session.frame_ids()
+    assert frame_ids, f"no albedo_*.png frames in {args.img_dir}"
+    state = {
+        "frame": args.frame if args.frame in frame_ids else frame_ids[0],
+        "selected": None,  # (sem_class, cluster_id)
+        "recording": False,
+        "frames_out": [],
+    }
+
+    root = tk.Tk()
+    root.title("IntrinsicNeRF-TPU editor")
+
+    img0 = session.compose(state["frame"])
+    h, w = img0.shape[:2]
+    scale = max(1, 480 // max(h, w))
+    canvas = tk.Canvas(root, width=w * scale, height=h * scale)
+    canvas.grid(row=0, column=0, rowspan=12)
+
+    photo = [None]
+
+    def refresh():
+        img = session.compose(state["frame"])
+        pil = Image.fromarray((img * 255).astype(np.uint8)).resize(
+            (w * scale, h * scale), Image.NEAREST
+        )
+        photo[0] = ImageTk.PhotoImage(pil)
+        canvas.create_image(0, 0, image=photo[0], anchor="nw")
+        if state["recording"]:
+            state["frames_out"].append((img * 255).astype(np.uint8))
+
+    def on_click(event):
+        row, col = event.y // scale, event.x // scale
+        if 0 <= row < h and 0 <= col < w:
+            sem, cid = session.pick(state["frame"], row, col)
+            color = session.get_cluster_color(sem, cid)
+            state["selected"] = (sem, cid)
+            sel_var.set(f"class {sem} / cluster {cid}")
+            if color is not None:
+                for s, v in zip(sliders, color):
+                    s.set(int(v * 255))
+
+    canvas.bind("<Button-1>", on_click)
+
+    sel_var = tk.StringVar(value="click a pixel")
+    tk.Label(root, textvariable=sel_var).grid(row=0, column=1)
+
+    def on_rgb(_=None):
+        if state["selected"] is None:
+            return
+        sem, cid = state["selected"]
+        rgb = np.array([s.get() for s in sliders], np.float32) / 255.0
+        try:
+            session.set_cluster_color(sem, cid, rgb)
+        except ValueError:
+            return
+        refresh()
+
+    sliders = []
+    for i, name in enumerate(("R", "G", "B")):
+        s = tk.Scale(root, from_=0, to=255, orient="horizontal", label=name,
+                     command=on_rgb, length=200)
+        s.grid(row=1 + i, column=1)
+        sliders.append(s)
+
+    def on_shading(v):
+        session.shading_scale = float(v)
+        refresh()
+
+    def on_residual(v):
+        session.residual_scale = float(v)
+        refresh()
+
+    def on_gamma(v):
+        session.shading_gamma = float(v)
+        refresh()
+
+    tk.Scale(root, from_=0.0, to=3.0, resolution=0.05, orient="horizontal",
+             label="shading scale", command=on_shading, length=200).grid(
+        row=4, column=1)
+    tk.Scale(root, from_=0.0, to=3.0, resolution=0.05, orient="horizontal",
+             label="residual scale", command=on_residual, length=200).grid(
+        row=5, column=1)
+    tk.Scale(root, from_=0.2, to=3.0, resolution=0.05, orient="horizontal",
+             label="shading gamma", command=on_gamma, length=200).grid(
+        row=6, column=1)
+
+    def next_frame():
+        i = frame_ids.index(state["frame"])
+        state["frame"] = frame_ids[(i + 1) % len(frame_ids)]
+        refresh()
+
+    def save_frame():
+        out = os.path.join(args.img_dir, f"edited_{state['frame']:03d}.png")
+        session.save_edit(state["frame"], out)
+        sel_var.set(f"saved {out}")
+
+    def save_palette():
+        out = os.path.join(args.img_dir, "edited_cluster")
+        session.save_palette(out)
+        sel_var.set(f"palette -> {out}")
+
+    def toggle_record():
+        if state["recording"]:
+            state["recording"] = False
+            if state["frames_out"]:
+                from intrinsicnerf_tpu.tools.video import write_video
+
+                out = os.path.join(args.img_dir, "edit_session.mp4")
+                write_video(out, state["frames_out"], fps=10)
+                sel_var.set(f"video -> {out}")
+            state["frames_out"] = []
+            rec_btn.config(text="record")
+        else:
+            state["recording"] = True
+            rec_btn.config(text="stop rec")
+
+    tk.Button(root, text="next frame", command=next_frame).grid(row=7, column=1)
+    tk.Button(root, text="save edit", command=save_frame).grid(row=8, column=1)
+    tk.Button(root, text="save palette", command=save_palette).grid(row=9, column=1)
+    tk.Button(root, text="reset palette",
+              command=lambda: (session.reset_palette(), refresh())).grid(
+        row=10, column=1)
+    rec_btn = tk.Button(root, text="record", command=toggle_record)
+    rec_btn.grid(row=11, column=1)
+
+    refresh()
+    root.mainloop()
+
+
+if __name__ == "__main__":
+    main()
