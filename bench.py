@@ -53,6 +53,7 @@ def main():
         enable_semantic=True,
         num_semantic_classes=n_classes,
         compute_dtype=jnp.bfloat16,  # trunk in bf16; heads/losses fp32
+        use_fused_kernel=True,  # Pallas fused trunk+heads w/ custom VJP
     )
     rcfg = RenderConfig(n_coarse=64, n_importance=128, perturb=1.0, raw_noise_std=1.0)
     tcfg = TrainConfig(n_rays=512)

@@ -49,6 +49,7 @@ class MLPConfig:
     enable_semantic: bool = False
     num_semantic_classes: int = 0
     compute_dtype: Any = jnp.float32  # trunk matmul dtype (bf16 for speed)
+    use_fused_kernel: bool = False  # Pallas fused trunk+heads (D=8/skip 4)
 
     @property
     def input_ch(self) -> int:
@@ -174,6 +175,17 @@ def eval_points(
     """PE + MLP over a ray batch; the per-ray dir-PE is computed once and
     broadcast over the sample axis (reference re-embeds per point,
     ``model_utils.py:27-31`` — same values, less work)."""
+    if (
+        cfg.use_fused_kernel
+        and not want_endpoint_feat
+        and cfg.depth == 8
+        and tuple(cfg.skips) == (4,)
+        and cfg.use_viewdirs
+        and viewdirs is not None
+    ):
+        from intrinsicnerf_tpu.ops.fused_mlp import fused_eval_points
+
+        return fused_eval_points(params, cfg, pts, viewdirs)
     pe_pts = positional_encoding(
         pts, cfg.n_freqs_pos, scalar_factor=cfg.pos_scalar_factor
     )
