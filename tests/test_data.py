@@ -187,3 +187,43 @@ def test_scannet_nyu13_reduction():
     assert NYU40_TO_NYU13.shape == (41,)
     assert NYU40_TO_NYU13[0] == 0  # void maps to void
     assert NYU40_TO_NYU13.max() <= 13
+
+
+def test_dv_intrinsics_parse(tmp_path):
+    from intrinsicnerf_tpu.data.deepvoxels import parse_dv_intrinsics
+
+    f = tmp_path / "intrinsics.txt"
+    f.write_text("525.0 256.0 256.0\n0 0 0\n0.8\n1.0\n512 512\n0\n")
+    focal, cx, cy, near = parse_dv_intrinsics(str(f), 512)
+    assert focal == 525.0 and cx == 256.0 and cy == 256.0 and near == 0.8
+    # rescaling to a different target sidelength
+    focal2, cx2, _, _ = parse_dv_intrinsics(str(f), 256)
+    assert focal2 == 262.5 and cx2 == 128.0
+
+
+def test_load_linemod(tmp_path, rng):
+    import json
+
+    from intrinsicnerf_tpu.data.deepvoxels import load_linemod_data
+
+    h = w = 8
+    for split, n in (("train", 2), ("val", 1), ("test", 1)):
+        frames = []
+        for i in range(n):
+            name = f"{split}_{i}.png"
+            img = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+            _write_png(str(tmp_path / "frames" / name), img)
+            frames.append(
+                {
+                    "file_path": f"frames/{name}",
+                    "transform_matrix": np.eye(4).tolist(),
+                    "intrinsic_matrix": [[50.0, 0, 4], [0, 50.0, 4], [0, 0, 1]],
+                }
+            )
+        (tmp_path / f"transforms_{split}.json").write_text(
+            json.dumps({"frames": frames})
+        )
+    data = load_linemod_data(str(tmp_path))
+    assert data.images.shape == (4, 8, 8, 4)  # alpha synthesized
+    assert data.focal == 50.0
+    assert [len(s) for s in data.i_split] == [2, 1, 1]

@@ -57,6 +57,14 @@ def main():
         )
     elif dstype == "llff":
         data = _llff_as_blender(cfg)
+    elif dstype == "LINEMOD":
+        from intrinsicnerf_tpu.data.deepvoxels import load_linemod_data
+
+        data = load_linemod_data(
+            cfg.experiment.dataset_dir, half_res=cfg.half_res, testskip=cfg.testskip
+        )
+    elif dstype == "deepvoxels":
+        data = _deepvoxels_as_blender(cfg)
     else:
         raise ValueError(f"unknown object dataset_type: {dstype}")
 
@@ -116,6 +124,29 @@ def _llff_as_blender(cfg):
         w=llff.w,
         focal=llff.focal,
         i_split=[i_train, i_test, i_test],
+    )
+
+
+def _deepvoxels_as_blender(cfg):
+    import numpy as np
+
+    from intrinsicnerf_tpu.data.blender import BlenderData
+    from intrinsicnerf_tpu.data.deepvoxels import load_dv_data
+
+    dv = load_dv_data(
+        scene=str(cfg.raw.get("shape", "cube")),
+        basedir=cfg.experiment.dataset_dir,
+        testskip=cfg.testskip,
+    )
+    rgba = np.concatenate([dv.images, np.ones_like(dv.images[..., :1])], -1)
+    return BlenderData(
+        images=rgba,
+        poses=dv.poses,
+        render_poses=dv.render_poses,
+        h=dv.h,
+        w=dv.w,
+        focal=dv.focal,
+        i_split=dv.i_split,
     )
 
 
