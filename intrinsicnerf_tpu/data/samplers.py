@@ -89,6 +89,7 @@ def sample_ray_pairs_from_poses(
     far: float,
     mask_pool: Optional[jnp.ndarray] = None,  # [num_img, H*W] object mask
     crop_frac: Optional[jnp.ndarray] = None,  # [] in (0,1]; None = full frame
+    ndc_focal: Optional[float] = None,  # set -> project rays to NDC (LLFF)
 ) -> RayBatch:
     """Object-pipeline sampler: rays are built on the fly from the sampled
     image's pose instead of a precomputed per-image ray pool — O(HW)
@@ -118,6 +119,13 @@ def sample_ray_pairs_from_poses(
     d_world = d_cam @ c2w[:3, :3].T
     origins = jnp.broadcast_to(c2w[:3, 3], d_world.shape)
     viewdirs = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
+    if ndc_focal is not None:
+        # forward-facing LLFF: march in NDC with bounds [0, 1]
+        # (run_nerf.py:96-100); viewdirs stay in world space
+        from intrinsicnerf_tpu.core.rays import ndc_rays
+
+        origins, d_world = ndc_rays(h, w, ndc_focal, 1.0, origins, d_world)
+        near, far = 0.0, 1.0
     nf = jnp.broadcast_to(
         jnp.asarray([near, far], d_world.dtype), (*d_world.shape[:-1], 2)
     )

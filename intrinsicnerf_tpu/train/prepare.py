@@ -89,11 +89,11 @@ def prepare_replica_bundle(cfg: FrameworkConfig, data) -> SceneBundle:
         "depth": _resize_stack(test["depth"], hs, ws),
     }
     if cfg.experiment.enable_semantic:
+        # evaluate against clean GT labels when the dataset provides them
+        # (NYU-CNN trains on predicted labels but evals on GT)
+        eval_sem = test.get("semantic_remap_clean", test["semantic_remap"])
         test_gt["semantic"] = (
-            _resize_stack(test["semantic_remap"], hs, ws, nearest=True).astype(
-                np.int64
-            )
-            - 1
+            _resize_stack(eval_sem, hs, ws, nearest=True).astype(np.int64) - 1
         )
     train_gt = {"image": _resize_stack(train["image"], hs, ws)}
 
@@ -184,12 +184,25 @@ def prepare_scannet_bundle(cfg: FrameworkConfig, data) -> SceneBundle:
     )
 
 
+def apply_ndc_to_rays(rays: jnp.ndarray, h: int, w: int, focal: float):
+    """Project a [..., 11] ray block to NDC (bounds become [0, 1];
+    viewdirs keep their world-space values, matching the reference)."""
+    from intrinsicnerf_tpu.core.rays import ndc_rays
+
+    o, d = ndc_rays(h, w, focal, 1.0, rays[..., 0:3], rays[..., 3:6])
+    nf = jnp.broadcast_to(
+        jnp.asarray([0.0, 1.0], rays.dtype), (*rays.shape[:-1], 2)
+    )
+    return jnp.concatenate([o, d, nf, rays[..., 8:11]], axis=-1)
+
+
 def prepare_blender_bundle(
-    cfg: FrameworkConfig, data: BlenderData
+    cfg: FrameworkConfig, data: BlenderData, ndc_focal=None
 ) -> Tuple[SceneBundle, PosePools]:
     """Object pipeline: white-bkgd composite (per config), alpha object
     masks, pose-based pools.  Returns the bundle plus the PosePools the
-    pose-sampler train step consumes."""
+    pose-sampler train step consumes.  ``ndc_focal`` set -> eval/vis ray
+    blocks are projected to NDC (LLFF forward-facing)."""
     near, far = cfg.depth_range
     h, w, focal = data.h, data.w, data.focal
     i_train, i_val, i_test = data.i_split
@@ -219,6 +232,9 @@ def prepare_blender_bundle(
         jnp.asarray(data.render_poses, jnp.float32), h, w, focal, focal,
         w * 0.5, h * 0.5, near, far, convention="opengl",
     )
+    if ndc_focal is not None:
+        rays_test = apply_ndc_to_rays(rays_test, h, w, ndc_focal)
+        rays_vis = apply_ndc_to_rays(rays_vis, h, w, ndc_focal)
     bundle = SceneBundle(
         pools=pose_pools,
         rays_vis=rays_vis,

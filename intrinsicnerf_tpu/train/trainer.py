@@ -79,9 +79,12 @@ def _save_img(path, arr):
     imageio.imwrite(path, arr)
 
 
-def make_object_sample_fn(cfg: FrameworkConfig, bundle: "SceneBundle"):
+def make_object_sample_fn(
+    cfg: FrameworkConfig, bundle: "SceneBundle", ndc_focal=None
+):
     """Pose-based pair sampler with precrop warmup for the object
-    pipeline (run_nerf.py:887-938)."""
+    pipeline (run_nerf.py:887-938); ``ndc_focal`` enables the LLFF
+    forward-facing NDC projection."""
     from intrinsicnerf_tpu.data.samplers import sample_ray_pairs_from_poses
 
     near, far = cfg.depth_range
@@ -97,6 +100,7 @@ def make_object_sample_fn(cfg: FrameworkConfig, bundle: "SceneBundle"):
         return sample_ray_pairs_from_poses(
             key, pools.dirs_cam, pools.poses, pools.rgb, h, w, n_rays,
             near, far, mask_pool=pools.mask, crop_frac=crop,
+            ndc_focal=ndc_focal,
         )
 
     return sample_fn

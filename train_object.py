@@ -68,8 +68,15 @@ def main():
     else:
         raise ValueError(f"unknown object dataset_type: {dstype}")
 
-    bundle, _ = prepare_blender_bundle(cfg, data)
-    sample_fn = make_object_sample_fn(cfg, bundle)
+    # LLFF forward-facing scenes march in NDC unless no_ndc/spherify
+    ndc_focal = None
+    if dstype == "llff" and not cfg.raw.get("no_ndc", False) and not cfg.raw.get(
+        "spherify", False
+    ):
+        ndc_focal = data.focal
+
+    bundle, _ = prepare_blender_bundle(cfg, data, ndc_focal=ndc_focal)
+    sample_fn = make_object_sample_fn(cfg, bundle, ndc_focal=ndc_focal)
     trainer = Trainer(cfg, bundle, sample_fn=sample_fn)
     trainer.maybe_resume()
 
@@ -103,6 +110,11 @@ def _llff_as_blender(cfg):
         factor=int(raw.get("factor", 8)),
         spherify=bool(raw.get("spherify", False)),
     )
+    # depth bounds: NDC -> [0,1] handled by the sampler; otherwise from bds
+    if raw.get("no_ndc", False) or raw.get("spherify", False):
+        cfg.depth_range = (float(llff.bds.min()) * 0.9, float(llff.bds.max()))
+    else:
+        cfg.depth_range = (0.0, 1.0)
     n = llff.images.shape[0]
     hold = int(raw.get("llffhold", 8))
     i_test = np.arange(n)[::hold] if hold > 0 else np.array([llff.i_test])
