@@ -53,8 +53,8 @@ def main():
         cfg = from_yaml(args.config_file)
         ds_args = types.SimpleNamespace(
             total_frames=args.total_frames, split_step=args.split_step,
-            sparse_views=False, pixel_denoising=False, super_resolution=False,
-            label_propagation=False,
+            sparse_views=False, pixel_denoising=False, region_denoising=False,
+            super_resolution=False, label_propagation=False,
         )
         data = build_dataset(cfg, ds_args)
         if cfg.experiment.dataset_type == "scannet":

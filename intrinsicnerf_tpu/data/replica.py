@@ -70,11 +70,23 @@ def load_replica(
         glob.glob(os.path.join(data_dir, "semantic_class", "semantic_class_*.png")),
         key=_num_key,
     )
+    inst_list = sorted(
+        glob.glob(
+            os.path.join(data_dir, "semantic_instance", "semantic_instance_*.png")
+        ),
+        key=_num_key,
+    )
+    has_instance = len(inst_list) > 0
 
     def load_frame(idx):
         image = cv2.imread(rgb_list[idx])[:, :, ::-1] / 255.0
         depth = cv2.imread(depth_list[idx], cv2.IMREAD_UNCHANGED) / 1000.0
         semantic = cv2.imread(sem_list[idx], cv2.IMREAD_UNCHANGED)
+        instance = (
+            cv2.imread(inst_list[idx], cv2.IMREAD_UNCHANGED)
+            if has_instance
+            else None
+        )
         if img_h is not None and (
             img_h != image.shape[0] or img_w != image.shape[1]
         ):
@@ -83,18 +95,28 @@ def load_replica(
             semantic = cv2.resize(
                 semantic, (img_w, img_h), interpolation=cv2.INTER_NEAREST
             )
-        return image, depth, semantic, traj[idx]
+            if instance is not None:
+                instance = cv2.resize(
+                    instance, (img_w, img_h), interpolation=cv2.INTER_NEAREST
+                )
+        return image, depth, semantic, instance, traj[idx]
 
     def collect(ids):
         out = {"image": [], "depth": [], "semantic": [], "T_wc": []}
+        if has_instance:
+            out["instance"] = []
         for idx in ids:
-            img, dep, sem, t = load_frame(idx)
+            img, dep, sem, inst, t = load_frame(idx)
             out["image"].append(img)
             out["depth"].append(dep)
             out["semantic"].append(sem)
+            if has_instance:
+                out["instance"].append(inst)
             out["T_wc"].append(t)
         return {
-            k: np.asarray(v, np.float32 if k != "semantic" else np.int64)
+            k: np.asarray(
+                v, np.float32 if k not in ("semantic", "instance") else np.int64
+            )
             for k, v in out.items()
         }
 

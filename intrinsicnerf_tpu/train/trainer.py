@@ -107,18 +107,30 @@ def make_object_sample_fn(
 
 
 class Trainer:
+    """Orchestrates training.  Pass ``mesh`` (a 1-D ``data`` mesh from
+    ``parallel.make_mesh``) to run the step data-parallel: image pools
+    shard over devices, params/opt-state replicate, and each device
+    samples its own ``n_rays`` pairs (global batch scales with the
+    mesh)."""
+
     def __init__(
         self,
         cfg: FrameworkConfig,
         bundle: SceneBundle,
         seed: int = 0,
         sample_fn=None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.bundle = bundle
         self.save_dir = cfg.experiment.save_dir
         os.makedirs(self.save_dir, exist_ok=True)
         self.logger = TBLogger(os.path.join(self.save_dir, "tfb_logs"), cfg.raw)
+        if cfg.raw:  # config dump for later inspection (trainer.py:56-59)
+            import yaml
+
+            with open(os.path.join(self.save_dir, "exp_config.yaml"), "w") as f:
+                yaml.safe_dump(cfg.raw, f, default_flow_style=False)
 
         self.mcfg: MLPConfig = dataclasses.replace(
             cfg.mlp, num_semantic_classes=bundle.num_valid_classes
@@ -132,13 +144,39 @@ class Trainer:
         self.state: TrainState = create_train_state(
             jax.random.key(seed), self.mcfg, cfg.train, self.optimizer
         )
-        self.step_fn = jax.jit(
-            make_train_step(
+        self.mesh = mesh
+        if mesh is not None:
+            from intrinsicnerf_tpu.parallel.mesh import (
+                pad_images_to_multiple,
+                replicate,
+                shard_pools,
+            )
+            from intrinsicnerf_tpu.parallel.sharded_step import (
+                make_sharded_train_step_for,
+            )
+
+            n_dev = mesh.devices.size
+            pools_host = jax.tree_util.tree_map(
+                lambda x: None if x is None else jax.device_get(x),
+                bundle.pools,
+            )
+            pools_host = pad_images_to_multiple(pools_host, n_dev)
+            self.bundle = bundle = dataclasses.replace(
+                bundle, pools=shard_pools(mesh, pools_host)
+            )
+            self.state = replicate(mesh, self.state)
+            self.step_fn = make_sharded_train_step_for(
                 self.mcfg, cfg.render, cfg.train, self.optimizer, bundle.h,
-                bundle.w, sample_fn=sample_fn,
-            ),
-            donate_argnums=(0,),
-        )
+                bundle.w, mesh, bundle.pools,
+            )
+        else:
+            self.step_fn = jax.jit(
+                make_train_step(
+                    self.mcfg, cfg.render, cfg.train, self.optimizer, bundle.h,
+                    bundle.w, sample_fn=sample_fn,
+                ),
+                donate_argnums=(0,),
+            )
         self.key = jax.random.key(seed + 1)
 
         self.n_table_classes = max(
@@ -389,4 +427,11 @@ class Trainer:
             )
         self.logger.scalars(step, {f"Test/{k}": v for k, v in metrics.items()})
         print(f"eval @{step}: " + ", ".join(f"{k}={v:.4g}" for k, v in metrics.items()))
+        if save:
+            try:  # mp4s of every rendered modality (trainer.py:1088-1093)
+                from intrinsicnerf_tpu.tools.video import generate_all
+
+                generate_all(save_dir)
+            except Exception as e:  # video writing must never kill training
+                print(f"video write skipped: {e}")
         return metrics

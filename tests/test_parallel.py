@@ -97,3 +97,45 @@ def test_sharded_matches_single_device_gradient_scale(mesh):
     assert d_single > 0 and d_shard > 0
     # same order of magnitude (different random batches, same lr/scale)
     assert 0.2 < d_shard / d_single < 5.0
+
+
+def test_trainer_with_mesh(mesh, tmp_path):
+    """Mesh-aware Trainer: sharded pools, replicated params, fit runs."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from intrinsicnerf_tpu.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        LoggingConfig,
+    )
+    from intrinsicnerf_tpu.train.trainer import SceneBundle, Trainer
+
+    pools = make_pools(n_img=8, semantic=True)
+    bundle = SceneBundle(
+        pools=pools,
+        rays_vis=pools.rays[:1],
+        rays_test=pools.rays[:1],
+        h=H, w=W, h_scaled=H, w_scaled=W,
+        num_valid_classes=4,
+        test_gt={},
+    )
+    cfg = FrameworkConfig(
+        experiment=ExperimentConfig(
+            save_dir=str(tmp_path / "dp"), enable_semantic=True
+        ),
+        mlp=MLPConfig(depth=3, width=32, skips=(1,), n_freqs_pos=4,
+                      n_freqs_dir=2, enable_semantic=True,
+                      num_semantic_classes=4),
+        render=RenderConfig(n_coarse=8, n_importance=8),
+        train=TrainConfig(n_rays=8, n_iters=4),
+        logging=LoggingConfig(step_log_tfb=10**9, step_save_ckpt=10**9,
+                              step_vis_train=10**9, step_val=10**9),
+    )
+    trainer = Trainer(cfg, bundle, mesh=mesh)
+    report = trainer.fit(n_iters=4, progress=False)
+    assert np.isfinite(float(report.total))
+    assert int(trainer.state.step) == 4
+    leaf = trainer.state.params_coarse["trunk"][0]["kernel"]
+    assert leaf.sharding.is_fully_replicated

@@ -66,6 +66,15 @@ def build_dataset(cfg, args):
         degradations.add_pixel_wise_noise_label(
             data, noise_ratio=args.pixel_noise_ratio
         )
+    if args.region_denoising:
+        inst = data.train_samples.get("instance")
+        if inst is None:
+            raise SystemExit(
+                "--region_denoising requires the dataset's semantic_instance maps"
+            )
+        degradations.add_instance_wise_noise_label(
+            data, inst, flip_ratio=args.region_noise_ratio
+        )
     if args.super_resolution:
         degradations.super_resolve_label(data, down_scale_factor=args.dense_sr)
     if args.label_propagation:
@@ -86,11 +95,18 @@ def main():
     parser.add_argument("--random_sample", action="store_true")
     parser.add_argument("--pixel_denoising", action="store_true")
     parser.add_argument("--pixel_noise_ratio", type=float, default=0.0)
+    parser.add_argument("--region_denoising", action="store_true")
+    parser.add_argument("--region_noise_ratio", type=float, default=0.3)
     parser.add_argument("--super_resolution", action="store_true")
     parser.add_argument("--dense_sr", type=int, default=8)
     parser.add_argument("--label_propagation", action="store_true")
     parser.add_argument("--partial_perc", type=float, default=0.0)
     parser.add_argument("--no_progress", action="store_true")
+    parser.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard image pools over all devices (per-device ray batches, "
+        "grad pmean); global batch = n_rays * n_devices",
+    )
     args = parser.parse_args()
 
     from intrinsicnerf_tpu.config import from_yaml
@@ -108,7 +124,16 @@ def main():
     else:
         bundle = prepare_replica_bundle(cfg, data)
 
-    trainer = Trainer(cfg, bundle)
+    mesh = None
+    if args.data_parallel:
+        from intrinsicnerf_tpu.parallel.distributed import initialize_distributed
+        from intrinsicnerf_tpu.parallel.mesh import make_mesh
+
+        initialize_distributed()
+        mesh = make_mesh()
+        print(f"data-parallel over {mesh.devices.size} devices")
+
+    trainer = Trainer(cfg, bundle, mesh=mesh)
     trainer.maybe_resume()
     trainer.fit(n_iters=args.n_iters, progress=not args.no_progress)
     print("training complete")
