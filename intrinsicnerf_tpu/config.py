@@ -131,6 +131,7 @@ def from_yaml(path: str, overrides: Optional[Dict[str, Any]] = None) -> Framewor
         enable_semantic=experiment.enable_semantic,
         num_semantic_classes=0,  # filled in from the dataset
         compute_dtype=dtype,
+        use_fused_kernel=bool(cfg.get("use_fused_kernel", False)),
     )
     rcfg = RenderConfig(
         n_coarse=int(render.get("N_samples", 64)),
@@ -222,6 +223,7 @@ def from_object_txt(
         use_viewdirs=bool(cfg.get("use_viewdirs", True)),
         enable_semantic=False,
         compute_dtype=dtype,
+        use_fused_kernel=bool(cfg.get("use_fused_kernel", False)),
     )
     rcfg = RenderConfig(
         n_coarse=int(cfg.get("N_samples", 64)),

@@ -17,7 +17,10 @@ import numpy as np
 
 def write_video(path: str, frames: Iterable[np.ndarray], fps: int = 30):
     """mp4 from RGB uint8 frames (cv2 backend, imageio fallback)."""
-    frames = list(frames)
+    frames = [
+        np.repeat(f[..., None], 3, axis=-1) if f.ndim == 2 else f[..., :3]
+        for f in frames
+    ]
     if not frames:
         raise ValueError("no frames to write")
     h, w = frames[0].shape[:2]
@@ -57,7 +60,7 @@ def pngs_to_video(img_dir: str, prefix: str, out_path: str, fps: int = 30):
     files = frames_matching(img_dir, prefix)
     if not files:
         raise FileNotFoundError(f"no '{prefix}*' frames in {img_dir}")
-    frames = [np.asarray(imageio.imread(f))[..., :3] for f in files]
+    frames = [np.asarray(imageio.imread(f)) for f in files]
     return write_video(out_path, frames, fps)
 
 

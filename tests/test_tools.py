@@ -132,3 +132,19 @@ def test_mesh_extraction_pipeline(tmp_path):
     occ, sem = gm.query_density_grid(params, mcfg, pts, voxel_size=0.05, chunk=512)
     assert occ.shape == (1000,) and sem.shape == (1000,)
     assert np.all(occ >= 0) and np.all(occ <= 1)
+
+
+def test_video_grayscale_frames(tmp_path, rng):
+    """Single-channel modalities (shading/disp/entropy) must convert to
+    3-channel before encoding (regression: cv2 writeFrame channel
+    mismatch)."""
+    d = tmp_path / "gray"
+    d.mkdir()
+    for i in range(3):
+        _imsave(
+            str(d / f"shading_{i:03d}.png"),
+            rng.integers(0, 255, (16, 16)).astype(np.uint8),
+        )
+    out = str(tmp_path / "g.mp4")
+    pngs_to_video(str(d), "shading", out, fps=5)
+    assert os.path.getsize(out) > 0
