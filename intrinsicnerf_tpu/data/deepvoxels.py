@@ -14,7 +14,7 @@ import glob
 import json
 import os
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -145,6 +145,46 @@ def sample_ray_pairs_from_poses(
     )
 
 
+def sample_ray_pairs_all_images(
+    key: jax.Array,
+    rays_pool: jnp.ndarray,  # [num_img, H*W, 11]
+    rgb_pool: jnp.ndarray,
+    h: int,
+    w: int,
+    n_rays: int,
+    depth_pool: Optional[jnp.ndarray] = None,
+    sem_pool: Optional[jnp.ndarray] = None,
+) -> RayBatch:
+    """The reference's ``no_batching=False`` mode, jit-first: each ray
+    draws its own (image, pixel) uniformly over the whole training set
+    (``trainer.py:664-680`` consumes an epoch-shuffled permutation; a
+    fresh uniform draw per step has the same marginal distribution with
+    no host-side epoch state).  Neighbors stay within the same image."""
+    num_img = rays_pool.shape[0]
+    k_img, k_pix, k_bh, k_bw = jax.random.split(key, 4)
+    imgs = jax.random.randint(k_img, (n_rays,), 0, num_img)
+    idx_hw = jax.random.randint(k_pix, (n_rays,), 0, h * w)
+    idx_h, idx_w = idx_hw // w, idx_hw % w
+    nei_h = jnp.clip(idx_h + jax.random.randint(k_bh, (n_rays,), -1, 2), 0, h - 1)
+    nei_w = jnp.clip(idx_w + jax.random.randint(k_bw, (n_rays,), -1, 2), 0, w - 1)
+    nei_hw = nei_h * w + nei_w
+
+    imgs2 = jnp.concatenate([imgs, imgs])
+    flat_idx = imgs2 * (h * w) + jnp.concatenate([idx_hw, nei_hw])
+
+    def gather(pool):
+        return jnp.take(pool.reshape(-1, *pool.shape[2:]), flat_idx, axis=0)
+
+    return RayBatch(
+        rays=gather(rays_pool),
+        rgb=gather(rgb_pool),
+        depth=gather(depth_pool) if depth_pool is not None else None,
+        semantic=gather(sem_pool) if sem_pool is not None else None,
+        sem_flag=jnp.float32(1.0),
+        image_idx=imgs[0],
+    )
+
+
 def epoch_permutation_batch(
     rays_flat: jnp.ndarray,  # [num_img*H*W, 11]
     rgb_flat: jnp.ndarray,

@@ -25,7 +25,6 @@ blocks across the sequential TPU grid.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax

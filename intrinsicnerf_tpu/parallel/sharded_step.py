@@ -15,10 +15,9 @@ global batch (mean of per-shard means over equal shard sizes).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from intrinsicnerf_tpu.models.mlp import MLPConfig

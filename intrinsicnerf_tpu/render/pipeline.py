@@ -22,7 +22,7 @@ eval renders a ``lax.map`` over fixed-size chunks bounds memory.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

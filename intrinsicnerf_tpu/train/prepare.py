@@ -14,7 +14,7 @@ white-background compositing + alpha object masks.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax.numpy as jnp

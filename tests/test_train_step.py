@@ -177,3 +177,22 @@ def test_train_step_object_mode():
     table = empty_cluster_table(1, 16)
     state, report = step(state, pools, table, jnp.float32(0.0), jax.random.key(3))
     assert np.isfinite(float(report.total))
+
+
+def test_all_image_sampler():
+    from intrinsicnerf_tpu.data.samplers import sample_ray_pairs_all_images
+
+    pools = make_pools(n_img=3)
+    n = 64
+    batch = sample_ray_pairs_all_images(
+        jax.random.key(0), pools.rays, pools.rgb, H, W, n,
+        depth_pool=pools.depth, sem_pool=pools.semantic,
+    )
+    assert batch.rays.shape == (2 * n, 11)
+    # multiple distinct image origins appear in one batch
+    origins = np.unique(np.round(np.asarray(batch.rays[:, 2]), 4))
+    assert len(origins) > 1
+    # pair i and i+n share an image (same origin)
+    np.testing.assert_allclose(
+        np.asarray(batch.rays[:n, 0:3]), np.asarray(batch.rays[n:, 0:3])
+    )

@@ -133,7 +133,20 @@ def main():
         mesh = make_mesh()
         print(f"data-parallel over {mesh.devices.size} devices")
 
-    trainer = Trainer(cfg, bundle, mesh=mesh)
+    sample_fn = None
+    if not cfg.raw.get("render", {}).get("no_batching", True) and mesh is None:
+        from intrinsicnerf_tpu.data.samplers import sample_ray_pairs_all_images
+
+        def sample_fn(key, pools, step):
+            return sample_ray_pairs_all_images(
+                key, pools.rays, pools.rgb, bundle.h, bundle.w,
+                cfg.train.n_rays, depth_pool=pools.depth,
+                sem_pool=pools.semantic,
+            )
+
+        print("batching mode: sampling pixels across all training images")
+
+    trainer = Trainer(cfg, bundle, mesh=mesh, sample_fn=sample_fn)
     trainer.maybe_resume()
     trainer.fit(n_iters=args.n_iters, progress=not args.no_progress)
     print("training complete")
