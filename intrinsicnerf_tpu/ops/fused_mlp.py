@@ -134,19 +134,22 @@ def _mm(a, b):
     )
 
 
-def _forward_tile(w, feat):
-    """feat: [T, IN_W] packed PE block.  Returns (out, saved acts)."""
+def _forward_tile(w, feat, save_dtype=jnp.float32):
+    """feat: [T, IN_W] packed PE block.  Returns (out, saved acts).
+    ``save_dtype=bfloat16`` halves the backward kernel's VMEM residency
+    (the saved activations only feed bf16 matmuls and relu masks)."""
+    sv = lambda x: x.astype(save_dtype)
     h = jax.nn.relu(_mm(feat, w["w0"]) + w["b0"])
-    acts = [h]
+    acts = [sv(h)]
     for i in range(1, 5):
         h = jax.nn.relu(_mm(h, w[f"w{i}"]) + w[f"b{i}"])
-        acts.append(h)
-    h = jax.nn.relu(_mm(acts[4], w["w5h"]) + _mm(feat, w["w5x"]) + w["b5"])
-    acts.append(h)
+        acts.append(sv(h))
+    h = jax.nn.relu(_mm(h, w["w5h"]) + _mm(feat, w["w5x"]) + w["b5"])
+    acts.append(sv(h))
     h = jax.nn.relu(_mm(h, w["w6"]) + w["b6"])
-    acts.append(h)
+    acts.append(sv(h))
     H = jax.nn.relu(_mm(h, w["w7"]) + w["b7"])
-    acts.append(H)
+    acts.append(sv(H))
 
     a1 = jax.nn.relu(_mm(H, w["w_a1"]) + w["b_a1"])
     s1 = jax.nn.relu(_mm(H, w["w_s1"]) + w["b_s1"])
@@ -161,7 +164,10 @@ def _forward_tile(w, feat):
         + _mm(v, w["w_r"]) + w["b_r"]
         + _mm(m1, w["w_m2"]) + w["b_m2"]
     )
-    return out, {"acts": acts, "a1": a1, "s1": s1, "m1": m1, "f": f, "v": v}
+    return out, {
+        "acts": acts, "a1": sv(a1), "s1": sv(s1), "m1": sv(m1),
+        "f": sv(f), "v": sv(v),
+    }
 
 
 def _fwd_kernel(feat_ref, *refs):
