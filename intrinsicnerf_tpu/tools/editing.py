@@ -9,7 +9,7 @@ recompose ``edit = cluster_albedo * t(shading) * s + t(residual) * r``
 where a cluster's color is user-editable and s/r are global scale
 sliders with optional nonlinear (gamma) transfer.
 
-The Tk GUI (``tools/gui.py``) is a thin view over this class, so the
+The Tk GUI (repo-root ``gui.py``) is a thin view over this class, so the
 whole editing pipeline is testable without a display.
 """
 

@@ -227,3 +227,39 @@ def test_load_linemod(tmp_path, rng):
     assert data.images.shape == (4, 8, 8, 4)  # alpha synthesized
     assert data.focal == 50.0
     assert [len(s) for s in data.i_split] == [2, 1, 1]
+
+
+def test_load_replica_nyu_cnn(tmp_path, rng):
+    from intrinsicnerf_tpu.data.replica_nyu import load_replica_nyu_cnn
+
+    h, w, n = 8, 10, 4
+    traj = []
+    for i in range(n):
+        rgb = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+        depth = rng.integers(500, 5000, size=(h, w)).astype(np.uint16)
+        cnn = rng.integers(0, 5, size=(h, w)).astype(np.uint8)
+        gt = rng.integers(0, 5, size=(h, w)).astype(np.uint8)
+        _write_png(str(tmp_path / "rgb" / f"rgb_{i}.png"), rgb)
+        _write_png(str(tmp_path / "depth" / f"depth_{i}.png"), depth)
+        _write_png(
+            str(tmp_path / "CNN_semantic_class_nyu13" / f"semantic_class_{i}.png"),
+            cnn,
+        )
+        _write_png(
+            str(tmp_path / "semantic_class_nyu13_remap" / f"semantic_class_{i}.png"),
+            gt,
+        )
+        traj.append(np.eye(4).reshape(-1))
+    np.savetxt(str(tmp_path / "traj_w_c.txt"), np.stack(traj), delimiter=" ")
+
+    data = load_replica_nyu_cnn(
+        str(tmp_path), train_ids=[0, 2], test_ids=[1], nyu_mode="nyu13"
+    )
+    # trains on CNN labels, keeps GT for eval
+    np.testing.assert_array_equal(
+        data.train_samples["semantic_remap"], data.train_samples["cnn_semantic"]
+    )
+    np.testing.assert_array_equal(
+        data.test_samples["semantic_remap_clean"], data.test_samples["gt_semantic"]
+    )
+    assert data.num_semantic_class >= 1
