@@ -137,10 +137,25 @@ def table_from_numpy(
         anc = np.asarray(anc, np.float32)
         lnk = np.asarray(lnk, np.int64).reshape(-1)
         centers = np.asarray(centers, np.float32)
-        m = min(len(anc), a)
-        anchors[i, :m] = anc[:m]
-        links[i, :m] = lnk[:m]
-        colors[i, :m] = centers[np.clip(lnk[:m], 0, len(centers) - 1)]
+        if len(anc) > a:
+            # keep the anchors nearest their own cluster center (most
+            # representative); the reference keeps all anchors, so log
+            # the truncation rather than drop silently
+            centers_d = np.asarray(
+                map_drgb(jnp.asarray(centers), intensity_factor), np.float32
+            )
+            lnk_safe = np.clip(lnk, 0, len(centers) - 1)
+            d = np.linalg.norm(anc - centers_d[lnk_safe], axis=1)
+            keep = np.argsort(d, kind="stable")[:a]
+            print(
+                f"[cluster] class {i}: truncating {len(anc)} anchors to "
+                f"{a} (nearest-to-center kept)"
+            )
+            anc, lnk = anc[keep], lnk[keep]
+        m = len(anc)
+        anchors[i, :m] = anc
+        links[i, :m] = lnk
+        colors[i, :m] = centers[np.clip(lnk, 0, len(centers) - 1)]
         has[i] = m > 0
     return ClusterTable(
         anchors=jnp.asarray(anchors),

@@ -83,8 +83,12 @@ def load_replica_nyu_cnn(
         if img_h is not None and (img_h != image.shape[0] or img_w != image.shape[1]):
             image = cv2.resize(image, (img_w, img_h), interpolation=cv2.INTER_LINEAR)
             depth = cv2.resize(depth, (img_w, img_h), interpolation=cv2.INTER_LINEAR)
-            cnn_sem = cv2.resize(cnn_sem, (img_w, img_h), cv2.INTER_NEAREST)
-            gt_sem = cv2.resize(gt_sem, (img_w, img_h), cv2.INTER_NEAREST)
+            cnn_sem = cv2.resize(
+                cnn_sem, (img_w, img_h), interpolation=cv2.INTER_NEAREST
+            )
+            gt_sem = cv2.resize(
+                gt_sem, (img_w, img_h), interpolation=cv2.INTER_NEAREST
+            )
         return image, depth, cnn_sem, gt_sem, traj[idx]
 
     def collect(ids):
@@ -108,7 +112,11 @@ def load_replica_nyu_cnn(
     train = collect(train_ids)
     test = collect(test_ids)
     num_class = int(
-        max(train["cnn_semantic"].max(), train["gt_semantic"].max()) + 1
+        max(
+            train["cnn_semantic"].max(), train["gt_semantic"].max(),
+            test["cnn_semantic"].max(), test["gt_semantic"].max(),
+        )
+        + 1
     )
     return ReplicaNYUDataset(
         train_samples=train,

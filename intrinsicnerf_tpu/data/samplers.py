@@ -154,12 +154,15 @@ def sample_ray_pairs_all_images(
     n_rays: int,
     depth_pool: Optional[jnp.ndarray] = None,
     sem_pool: Optional[jnp.ndarray] = None,
+    mask_ids: Optional[jnp.ndarray] = None,  # [num_img] semantic-loss mask
 ) -> RayBatch:
     """The reference's ``no_batching=False`` mode, jit-first: each ray
     draws its own (image, pixel) uniformly over the whole training set
     (``trainer.py:664-680`` consumes an epoch-shuffled permutation; a
     fresh uniform draw per step has the same marginal distribution with
-    no host-side epoch state).  Neighbors stay within the same image."""
+    no host-side epoch state).  Neighbors stay within the same image.
+    Rays from semantically-unsupervised images (``mask_ids == 0``) get
+    their labels voided so the CE ignores them per ray."""
     num_img = rays_pool.shape[0]
     k_img, k_pix, k_bh, k_bw = jax.random.split(key, 4)
     imgs = jax.random.randint(k_img, (n_rays,), 0, num_img)
@@ -175,11 +178,16 @@ def sample_ray_pairs_all_images(
     def gather(pool):
         return jnp.take(pool.reshape(-1, *pool.shape[2:]), flat_idx, axis=0)
 
+    semantic = gather(sem_pool) if sem_pool is not None else None
+    if semantic is not None and mask_ids is not None:
+        ray_flags = jnp.take(mask_ids, imgs2, axis=0)
+        semantic = jnp.where(ray_flags > 0, semantic, 0)  # 0 = void
+
     return RayBatch(
         rays=gather(rays_pool),
         rgb=gather(rgb_pool),
         depth=gather(depth_pool) if depth_pool is not None else None,
-        semantic=gather(sem_pool) if sem_pool is not None else None,
+        semantic=semantic,
         sem_flag=jnp.float32(1.0),
         image_idx=imgs[0],
     )

@@ -146,11 +146,18 @@ def apply_mlp(
             params["sem2"], jax.nn.relu(_dense(params["sem1"], h32))
         )
 
-    feature = _dense(params["feature"], h, cd)
-    hv = jnp.concatenate([feature, dirs_embedded.astype(cd)], axis=-1)
-    hv = jax.nn.relu(_dense(params["views"], hv, cd))
-    hv32 = hv.astype(jnp.float32)
-    residual = jax.nn.sigmoid(_dense(params["residual"], hv32))
+    if cfg.use_viewdirs and dirs_embedded is not None:
+        feature = _dense(params["feature"], h, cd)
+        hv = jnp.concatenate([feature, dirs_embedded.astype(cd)], axis=-1)
+        hv = jax.nn.relu(_dense(params["views"], hv, cd))
+        hv32 = hv.astype(jnp.float32)
+        residual = jax.nn.sigmoid(_dense(params["residual"], hv32))
+    else:
+        # plain-NeRF mode (reference's non-viewdirs ``output_linear``
+        # branch): no view-dependent residual — radiance is purely
+        # albedo*shading and the intrinsic losses degenerate gracefully
+        residual = jnp.zeros_like(albedo)
+        hv32 = h32
 
     rgb = albedo * shading[..., None] + residual
 
@@ -183,9 +190,16 @@ def eval_points(
         and cfg.use_viewdirs
         and viewdirs is not None
     ):
-        from intrinsicnerf_tpu.ops.fused_mlp import fused_eval_points
+        from intrinsicnerf_tpu.ops.fused_mlp import (
+            DIR_OFF,
+            IN_W,
+            fused_eval_points,
+        )
 
-        return fused_eval_points(params, cfg, pts, viewdirs)
+        # the packed-feature layout fits pos-PE below DIR_OFF and dir-PE
+        # in the remainder; otherwise fall back to the XLA path
+        if cfg.input_ch <= DIR_OFF and cfg.input_ch_views <= IN_W - DIR_OFF:
+            return fused_eval_points(params, cfg, pts, viewdirs)
     pe_pts = positional_encoding(
         pts, cfg.n_freqs_pos, scalar_factor=cfg.pos_scalar_factor
     )

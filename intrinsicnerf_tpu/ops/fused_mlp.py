@@ -37,7 +37,10 @@ from intrinsicnerf_tpu.core.pe import positional_encoding
 from intrinsicnerf_tpu.models.mlp import MLPConfig, Params
 
 TILE_FWD = 1024  # points per fwd grid step
-TILE_BWD = 512  # points per bwd grid step (VMEM-bound: keeps all acts)
+TILE_BWD = 1024  # points per bwd grid step (VMEM-bound: keeps all acts)
+# the bwd kernel's weights+grads+activations sit right at Mosaic's 16MB
+# default scoped-vmem limit; raise it explicitly (v5e has far more VMEM)
+VMEM_LIMIT_BYTES = 32 * 1024 * 1024
 IN_W = 128  # packed input width: pos-PE at 0, dir-PE at DIR_OFF
 DIR_OFF = 64
 OUT_W = 128
@@ -68,6 +71,12 @@ def pack_weights(params: Params, cfg: MLPConfig) -> Dict[str, jnp.ndarray]:
         "fused kernel implements the reference architecture (D=8, skip 4)"
     )
     assert 8 + C <= OUT_W, "too many semantic classes for the packed output"
+    assert cfg.input_ch <= DIR_OFF, (
+        f"pos-PE dim {cfg.input_ch} exceeds the packed slot ({DIR_OFF})"
+    )
+    assert cfg.input_ch_views <= IN_W - DIR_OFF, (
+        f"dir-PE dim {cfg.input_ch_views} exceeds the packed slot"
+    )
     trunk = params["trunk"]
     p: Dict[str, jnp.ndarray] = {
         "w0": _pad2(trunk[0]["kernel"], IN_W, W),
@@ -270,6 +279,9 @@ def _run_fwd(packed_tuple, feat):
             (TILE_FWD, OUT_W), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, OUT_W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
+        ),
         interpret=_interpret(),
     )(feat, *packed_tuple)
 
@@ -293,6 +305,9 @@ def _fused_bwd(res, g_out):
         out_specs=tuple(_rep_spec(t.shape) for t in packed_tuple),
         out_shape=tuple(
             jax.ShapeDtypeStruct(t.shape, jnp.float32) for t in packed_tuple
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=_interpret(),
     )(feat, g_out, *packed_tuple)

@@ -273,6 +273,9 @@ def make_train_step(
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             total = jax.lax.pmean(total, axis_name)
+            # logged metrics must reflect the global batch too
+            t_c = jax.lax.pmean(t_c, axis_name)
+            t_f = jax.lax.pmean(t_f, axis_name) if t_f is not None else None
 
         updates, opt_state = optimizer.update(grads, state.opt_state, params)
         params = optax.apply_updates(params, updates)

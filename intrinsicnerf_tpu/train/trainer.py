@@ -145,6 +145,12 @@ class Trainer:
             jax.random.key(seed), self.mcfg, cfg.train, self.optimizer
         )
         self.mesh = mesh
+        if mesh is not None and sample_fn is not None:
+            raise ValueError(
+                "custom sample_fn is not supported with a mesh yet — the "
+                "sharded step uses the per-device pool sampler (scene "
+                "bundles only)"
+            )
         if mesh is not None:
             from intrinsicnerf_tpu.parallel.mesh import (
                 pad_images_to_multiple,
@@ -228,8 +234,11 @@ class Trainer:
         report = None
         for i in it:
             self.global_step = i
+            # no cluster loss until the first rebuild exists
+            # (trainer.py:913: `cluster_manager is not None` guard)
+            w_c_eff = self.w_c if self.cluster_manager is not None else 0.0
             self.state, report = self.step_fn(
-                self.state, self.bundle.pools, self.table, jnp.float32(self.w_c),
+                self.state, self.bundle.pools, self.table, jnp.float32(w_c_eff),
                 self.key,
             )
             if (i + 1) % log.step_log_tfb == 0:

@@ -106,3 +106,18 @@ def test_apply_matches_manual_two_layer():
     )
     sigma = h @ np.asarray(p["sigma"]["kernel"]) + np.asarray(p["sigma"]["bias"])
     np.testing.assert_allclose(np.asarray(raw.sigma), sigma[..., 0], rtol=1e-5)
+
+
+def test_no_viewdirs_plain_nerf_mode():
+    """use_viewdirs=False must run (reference's output_linear branch):
+    radiance = albedo*shading, residual = 0."""
+    cfg = small_cfg(use_viewdirs=False)
+    p = init_mlp_params(jax.random.key(10), cfg)
+    pts = jax.random.normal(jax.random.key(11), (4, 6, 3))
+    raw = eval_points(p, cfg, pts, None)
+    np.testing.assert_allclose(np.asarray(raw.residual), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(raw.rgb),
+        np.asarray(raw.albedo) * np.asarray(raw.shading)[..., None],
+        rtol=1e-5,
+    )

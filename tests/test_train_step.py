@@ -196,3 +196,20 @@ def test_all_image_sampler():
     np.testing.assert_allclose(
         np.asarray(batch.rays[:n, 0:3]), np.asarray(batch.rays[n:, 0:3])
     )
+
+
+def test_all_image_sampler_mask_ids_void_labels():
+    from intrinsicnerf_tpu.data.samplers import sample_ray_pairs_all_images
+
+    pools = make_pools(n_img=3)
+    # only image 0 keeps semantic supervision
+    mask_ids = jnp.asarray([1, 0, 0])
+    sem = jnp.ones((3, H * W), jnp.int32) * 2  # all labeled class 2
+    batch = sample_ray_pairs_all_images(
+        jax.random.key(5), pools.rays, pools.rgb, H, W, 128,
+        sem_pool=sem, mask_ids=mask_ids,
+    )
+    labels = np.asarray(batch.semantic)
+    # rays from masked images were voided; supervised ones keep label 2
+    assert set(np.unique(labels)) <= {0, 2}
+    assert (labels == 0).any() and (labels == 2).any()

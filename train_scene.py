@@ -141,7 +141,7 @@ def main():
             return sample_ray_pairs_all_images(
                 key, pools.rays, pools.rgb, bundle.h, bundle.w,
                 cfg.train.n_rays, depth_pool=pools.depth,
-                sem_pool=pools.semantic,
+                sem_pool=pools.semantic, mask_ids=pools.mask_ids,
             )
 
         print("batching mode: sampling pixels across all training images")
