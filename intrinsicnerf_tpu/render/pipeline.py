@@ -62,20 +62,27 @@ def render_rays(
     key: Optional[jax.Array],
     rcfg: RenderConfig,
     train: bool = False,
+    occ_grid=None,  # optional ops.occupancy_grid.OccupancyGrid
 ) -> RenderResult:
     rays_o, rays_d = rays[..., 0:3], rays[..., 3:6]
     near, far = rays[..., 6:7], rays[..., 7:8]
     viewdirs = rays[..., 8:11] if rays.shape[-1] > 8 else None
 
     if train and key is not None:
-        k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
+        k_perturb, k_noise_c, k_pdf, k_noise_f, k_occ = jax.random.split(key, 5)
     else:
-        k_perturb = k_noise_c = k_pdf = k_noise_f = None
+        k_perturb = k_noise_c = k_pdf = k_noise_f = k_occ = None
 
     z_vals = stratified_z_vals(near, far, rcfg.n_coarse, rcfg.lindisp)
     z_vals = jnp.broadcast_to(z_vals, (*rays.shape[:-1], rcfg.n_coarse))
     if train and rcfg.perturb > 0.0:
         z_vals = perturb_z_vals(z_vals, k_perturb)
+    if occ_grid is not None:
+        from intrinsicnerf_tpu.ops.occupancy_grid import occupancy_guided_z_vals
+
+        z_vals = occupancy_guided_z_vals(
+            occ_grid, rays_o, rays_d, z_vals, k_occ, det=not train
+        )
 
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
     raw_c = eval_points(params_coarse, mlp_cfg, pts, viewdirs)
