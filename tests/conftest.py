@@ -12,6 +12,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon sitecustomize (PALLAS_AXON_POOL_IPS set) imports jax at
+# interpreter start — before this conftest — so XLA_FLAGS alone comes
+# too late. jax.config works post-import as long as no backend has been
+# initialized yet.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import numpy as np
 import pytest
 

@@ -211,10 +211,11 @@ def test_composite_matches_reference_formula(rng):
     w, rgb, depth, acc, disp = np_composite(
         np.asarray(raw.sigma), np.asarray(raw.rgb), np.asarray(z), np.asarray(rays_d)
     )
-    np.testing.assert_allclose(np.asarray(maps.weights), w, rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(maps.rgb), rgb, rtol=1e-5, atol=1e-6)
+    # atol 1e-5: fp32 exp/cumprod noise varies with XLA fusion across versions
+    np.testing.assert_allclose(np.asarray(maps.weights), w, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(maps.rgb), rgb, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(maps.depth), depth, rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(maps.acc), acc, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(maps.acc), acc, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(maps.disp), disp, rtol=1e-4, atol=1e-5)
     # weights are a sub-probability measure
     assert np.all(np.asarray(maps.weights) >= 0)
@@ -224,7 +225,7 @@ def test_composite_matches_reference_formula(rng):
         np.asarray(maps.sem_logits),
         (w[..., None] * np.asarray(raw.sem_logits)).sum(-2),
         rtol=1e-5,
-        atol=1e-6,
+        atol=1e-5,
     )
 
 
