@@ -8,12 +8,24 @@ and every head per tile, and writes one packed [T, 128] output — HBM
 traffic per point drops from ~16 KB to ~1 KB, making the op
 compute-bound.
 
-Input layout (one [P, 128] block): ``[pos-PE(63) | pad | dir-PE(27)@64
-| pad]`` so every contraction dim is a 128 multiple.  Output layout
-(fp32 [P, 128]): ``[0]=sigma, [1:4]=albedo_logit, [4]=shading_logit,
-[5:8]=residual_logit, [8:8+C]=sem_logits`` — sigmoids are applied by
-the caller (XLA fuses them), keeping the kernel linear+relu and the
-VJP simple.
+The positional encoding is computed *inside* the kernel: the input is
+a tiny packed ``[P, 8]`` block ``[x, y, z, dx, dy, dz, 1, 0]`` and the
+PE expands in VMEM to the ``[P, 128]`` feature layout ``[pos-PE(63) |
+pad | dir-PE(27)@64 | pad]`` (so every contraction dim is a 128
+multiple).  The expansion is closed-form: ``feat = m*sin(z) +
+(1-m)*z`` with ``z = in8 @ F`` for a constant frequency matrix ``F``
+[8, 128] whose columns encode ``2^k/scale`` factors (cosines get a
+``pi/2`` phase through the constant-1 input column) and a 0/1 mask
+``m`` marking sinusoid columns.  ``z`` is accumulated on the VPU as 7
+broadcast FMAs (exact fp32 — bf16 MXU passes would corrupt the
+high-frequency angles).  This removes the former host-side feature
+build (~1.6 ms/step) and shrinks the kernel's HBM input traffic 16x
+(the backward remat re-read included).
+
+Output layout (fp32 [P, 128]): ``[0]=sigma, [1:4]=albedo_logit,
+[4]=shading_logit, [5:8]=residual_logit, [8:8+C]=sem_logits`` —
+sigmoids are applied by the caller (XLA fuses them), keeping the
+kernel linear+relu and the VJP simple.
 
 The custom VJP computes *weight/bias gradients only* — NeRF sample
 positions and view dirs never need grads (coarse z has no param
@@ -27,13 +39,14 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from intrinsicnerf_tpu.core.compositing import RawOutputs
-from intrinsicnerf_tpu.core.pe import positional_encoding
 from intrinsicnerf_tpu.models.mlp import MLPConfig, Params
 
 TILE_FWD = 1024  # points per fwd grid step
@@ -41,9 +54,48 @@ TILE_BWD = 1024  # points per bwd grid step (VMEM-bound: keeps all acts)
 # the bwd kernel's weights+grads+activations sit right at Mosaic's 16MB
 # default scoped-vmem limit; raise it explicitly (v5e has far more VMEM)
 VMEM_LIMIT_BYTES = 32 * 1024 * 1024
-IN_W = 128  # packed input width: pos-PE at 0, dir-PE at DIR_OFF
+IN_W = 128  # packed PE width in VMEM: pos-PE at 0, dir-PE at DIR_OFF
 DIR_OFF = 64
 OUT_W = 128
+IN8_W = 8  # packed kernel input: [x, y, z, dx, dy, dz, 1, 0]
+
+
+def pe_constants(cfg: MLPConfig):
+    """Constant frequency matrix F [IN8_W, IN_W] and sinusoid mask
+    [1, IN_W] such that ``feat = m*sin(in8 @ F) + (1-m)*(in8 @ F)``
+    reproduces ``positional_encoding`` (reference ordering: raw input,
+    then per-frequency sin/cos blocks) in the kernel's packed layout.
+    Cosines come from a pi/2 phase injected via the constant-1 column."""
+    F = np.zeros((IN8_W, IN_W), np.float32)
+    m = np.zeros((1, IN_W), np.float32)
+
+    def fill(col0, dim0, n_freqs, scale):
+        col = col0
+        for d in range(3):  # identity block
+            F[dim0 + d, col + d] = 1.0 / scale
+        col += 3
+        for k in range(n_freqs):
+            for trig in range(2):  # sin then cos
+                for d in range(3):
+                    F[dim0 + d, col] = (2.0**k) / scale
+                    if trig == 1:
+                        F[6, col] = np.pi / 2.0
+                    m[0, col] = 1.0
+                    col += 1
+
+    fill(0, 0, cfg.n_freqs_pos, cfg.pos_scalar_factor)
+    fill(DIR_OFF, 3, cfg.n_freqs_dir, 1.0)
+    return jnp.asarray(F), jnp.asarray(m)
+
+
+def _compute_feat(in8, pe_mat, sin_mask):
+    """[T, IN8_W] -> [T, IN_W] PE features, entirely in VMEM.  The angle
+    accumulation is 7 broadcast fp32 FMAs on the VPU (exact; an MXU
+    bf16 matmul would corrupt high-frequency angles ~2^9 * x)."""
+    z = in8[:, 0:1] * pe_mat[0:1, :]
+    for d in range(1, 7):  # row 7 of in8 is zero padding
+        z = z + in8[:, d : d + 1] * pe_mat[d : d + 1, :]
+    return sin_mask * jnp.sin(z) + (1.0 - sin_mask) * z
 
 
 def _pad2(a, rows: int, cols: int, row_off: int = 0, col_off: int = 0):
@@ -179,14 +231,15 @@ def _forward_tile(w, feat, save_dtype=jnp.float32):
     }
 
 
-def _fwd_kernel(feat_ref, *refs):
+def _fwd_kernel(in8_ref, pe_ref, sm_ref, *refs):
     out_ref = refs[-1]
     w = {k: r[...] for k, r in zip(_PACKED_KEYS, refs[:-1])}
-    out, _ = _forward_tile(w, feat_ref[...])
+    feat = _compute_feat(in8_ref[...], pe_ref[...], sm_ref[...])
+    out, _ = _forward_tile(w, feat)
     out_ref[...] = out
 
 
-def _bwd_kernel(feat_ref, g_ref, *refs):
+def _bwd_kernel(in8_ref, g_ref, pe_ref, sm_ref, *refs):
     n_w = len(_PACKED_KEYS)
     w_refs, grad_refs = refs[:n_w], refs[n_w:]
     w = {k: r[...] for k, r in zip(_PACKED_KEYS, w_refs)}
@@ -197,7 +250,7 @@ def _bwd_kernel(feat_ref, g_ref, *refs):
         for r in grad_refs:
             r[...] = jnp.zeros_like(r)
 
-    feat = feat_ref[...]
+    feat = _compute_feat(in8_ref[...], pe_ref[...], sm_ref[...])
     _, st = _forward_tile(w, feat)
     acts = st["acts"]
     H = acts[7]
@@ -261,18 +314,21 @@ def _interpret() -> bool:
 
 
 @jax.custom_vjp
-def _fused_packed(packed_tuple, feat):
-    return _run_fwd(packed_tuple, feat)
+def _fused_packed(packed_tuple, pe_consts, in8):
+    return _run_fwd(packed_tuple, pe_consts, in8)
 
 
-def _run_fwd(packed_tuple, feat):
-    n = feat.shape[0]
+def _run_fwd(packed_tuple, pe_consts, in8):
+    n = in8.shape[0]
     grid = n // TILE_FWD
+    pe_mat, sin_mask = pe_consts
     return pl.pallas_call(
         _fwd_kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((TILE_FWD, IN_W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_FWD, IN8_W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _rep_spec(pe_mat.shape),
+            _rep_spec(sin_mask.shape),
             *[_rep_spec(t.shape) for t in packed_tuple],
         ],
         out_specs=pl.BlockSpec(
@@ -283,23 +339,26 @@ def _run_fwd(packed_tuple, feat):
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=_interpret(),
-    )(feat, *packed_tuple)
+    )(in8, pe_mat, sin_mask, *packed_tuple)
 
 
-def _fused_fwd(packed_tuple, feat):
-    return _run_fwd(packed_tuple, feat), (packed_tuple, feat)
+def _fused_fwd(packed_tuple, pe_consts, in8):
+    return _run_fwd(packed_tuple, pe_consts, in8), (packed_tuple, pe_consts, in8)
 
 
 def _fused_bwd(res, g_out):
-    packed_tuple, feat = res
-    n = feat.shape[0]
+    packed_tuple, pe_consts, in8 = res
+    pe_mat, sin_mask = pe_consts
+    n = in8.shape[0]
     grid = n // TILE_BWD
     grads = pl.pallas_call(
         _bwd_kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((TILE_BWD, IN_W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_BWD, IN8_W), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_BWD, OUT_W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _rep_spec(pe_mat.shape),
+            _rep_spec(sin_mask.shape),
             *[_rep_spec(t.shape) for t in packed_tuple],
         ],
         out_specs=tuple(_rep_spec(t.shape) for t in packed_tuple),
@@ -310,43 +369,46 @@ def _fused_bwd(res, g_out):
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
         interpret=_interpret(),
-    )(feat, g_out, *packed_tuple)
-    return tuple(grads), jnp.zeros_like(feat)
+    )(in8, g_out, pe_mat, sin_mask, *packed_tuple)
+    return (
+        tuple(grads),
+        (jnp.zeros_like(pe_mat), jnp.zeros_like(sin_mask)),
+        jnp.zeros_like(in8),
+    )
 
 
 _fused_packed.defvjp(_fused_fwd, _fused_bwd)
 
 
 def fused_mlp_apply(
-    params: Params, cfg: MLPConfig, feat: jnp.ndarray
+    params: Params, cfg: MLPConfig, in8: jnp.ndarray
 ) -> jnp.ndarray:
-    """feat: packed [P, IN_W] PE block -> packed [P, OUT_W] raw outputs."""
+    """in8: packed [P, IN8_W] point block -> packed [P, OUT_W] raw outputs."""
     packed = pack_weights(params, cfg)
     packed_tuple = tuple(packed[k] for k in _PACKED_KEYS)
-    n = feat.shape[0]
-    pad = (-n) % (TILE_FWD * TILE_BWD // min(TILE_FWD, TILE_BWD))
+    n = in8.shape[0]
+    pad = (-n) % max(TILE_FWD, TILE_BWD)
     if pad:
-        feat = jnp.concatenate([feat, jnp.zeros((pad, IN_W), feat.dtype)])
-    return _fused_packed(packed_tuple, feat)[:n]
+        in8 = jnp.concatenate([in8, jnp.zeros((pad, IN8_W), in8.dtype)])
+    return _fused_packed(packed_tuple, pe_constants(cfg), in8)[:n]
 
 
-def build_feat(
+def build_in8(
     cfg: MLPConfig, pts: jnp.ndarray, viewdirs: Optional[jnp.ndarray]
 ) -> jnp.ndarray:
-    """[N, S, 3] pts + [N, 3] dirs -> packed [N*S, IN_W] PE features."""
+    """[N, S, 3] pts + [N, 3] dirs -> packed [N*S, IN8_W] kernel input
+    ``[x, y, z, dx, dy, dz, 1, 0]`` (the PE expands in-kernel)."""
     n, s, _ = pts.shape
-    pe_pts = positional_encoding(
-        pts.reshape(-1, 3), cfg.n_freqs_pos, scalar_factor=cfg.pos_scalar_factor
-    )
-    feat = jnp.zeros((n * s, IN_W), jnp.float32)
-    feat = feat.at[:, : pe_pts.shape[-1]].set(pe_pts)
+    pts = pts.reshape(n * s, 3).astype(jnp.float32)
     if viewdirs is not None:
-        pe_dirs = positional_encoding(viewdirs, cfg.n_freqs_dir)
-        pe_dirs = jnp.broadcast_to(
-            pe_dirs[:, None, :], (n, s, pe_dirs.shape[-1])
-        ).reshape(n * s, -1)
-        feat = feat.at[:, DIR_OFF : DIR_OFF + pe_dirs.shape[-1]].set(pe_dirs)
-    return feat
+        dirs = jnp.broadcast_to(
+            viewdirs.astype(jnp.float32)[:, None, :], (n, s, 3)
+        ).reshape(n * s, 3)
+    else:
+        dirs = jnp.zeros_like(pts)  # wv_d is zero-padded; PE(0) is inert
+    ones = jnp.ones((n * s, 1), jnp.float32)
+    zeros = jnp.zeros((n * s, 1), jnp.float32)
+    return jnp.concatenate([pts, dirs, ones, zeros], axis=-1)
 
 
 def fused_eval_points(
@@ -361,8 +423,8 @@ def fused_eval_points(
     assert not want_endpoint_feat, "endpoint_feat uses the XLA path"
     n, s, _ = pts.shape
     c = cfg.num_semantic_classes
-    feat = build_feat(cfg, pts, viewdirs)
-    out = fused_mlp_apply(params, cfg, feat).reshape(n, s, OUT_W)
+    in8 = build_in8(cfg, pts, viewdirs)
+    out = fused_mlp_apply(params, cfg, in8).reshape(n, s, OUT_W)
 
     sigma = out[..., 0]
     albedo = jax.nn.sigmoid(out[..., 1:4])
