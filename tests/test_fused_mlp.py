@@ -91,3 +91,41 @@ def test_dispatch_flag(setup):
     p_small = init_mlp_params(jax.random.key(3), small)
     out = eval_points(p_small, small, pts, dirs)
     assert np.isfinite(np.asarray(out.rgb)).all()
+
+
+def test_pe_constants_match_reference_encoding(setup):
+    """The in-kernel closed form ``m*sin(in8 @ F) + (1-m)*(in8 @ F)``
+    must reproduce ``positional_encoding`` (reference ordering,
+    ``semantic_nerf.py:14-65``) in the packed [pos | dir@64] layout."""
+    from intrinsicnerf_tpu.core.pe import positional_encoding
+    from intrinsicnerf_tpu.ops.fused_mlp import (
+        DIR_OFF,
+        build_in8,
+        pe_constants,
+    )
+
+    mcfg, _, pts, dirs = setup
+    in8 = build_in8(mcfg, pts, dirs)
+    F, m = pe_constants(mcfg)
+    z = in8 @ F
+    feat = m * jnp.sin(z) + (1.0 - m) * z
+
+    pe_pos = positional_encoding(
+        pts.reshape(-1, 3), mcfg.n_freqs_pos,
+        scalar_factor=mcfg.pos_scalar_factor,
+    )
+    n, s, _ = pts.shape
+    pe_dir = jnp.broadcast_to(
+        positional_encoding(dirs, mcfg.n_freqs_dir)[:, None, :],
+        (n, s, 27),
+    ).reshape(n * s, 27)
+
+    np.testing.assert_allclose(
+        np.asarray(feat[:, :63]), np.asarray(pe_pos), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(feat[:, DIR_OFF : DIR_OFF + 27]), np.asarray(pe_dir), atol=2e-5
+    )
+    # padding columns are exactly zero
+    assert float(jnp.abs(feat[:, 63:DIR_OFF]).max()) == 0.0
+    assert float(jnp.abs(feat[:, DIR_OFF + 27 :]).max()) == 0.0
