@@ -202,3 +202,53 @@ def test_pixel_gradient_allclose(setup):
         np.testing.assert_allclose(b / scale, a / scale, atol=1e-5)
     # semantic head gets no gradient from a pure pixel loss
     assert float(jnp.abs(grads["sem2"]["kernel"]).max()) == 0.0
+
+
+def test_sample_pdf_det_allclose():
+    """Deterministic inverse-CDF resampling matches the reference
+    ``sample_pdf`` (``SSR/models/rays.py:176-220``) exactly."""
+    from SSR.models.rays import sample_pdf as ref_sample_pdf
+    from intrinsicnerf_tpu.core.sampling import sample_pdf
+
+    rng = np.random.default_rng(11)
+    bins = np.sort(rng.uniform(0.1, 8.0, (32, 63)).astype(np.float32), -1)
+    weights = rng.uniform(0.0, 1.0, (32, 62)).astype(np.float32)
+    # a few degenerate rays: all-zero weights
+    weights[:3] = 0.0
+
+    ref = ref_sample_pdf(_t(bins), _t(weights), 128, det=True).numpy()
+    got = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(weights), 128, det=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_intrinsic_losses_allclose():
+    """All six intrinsic-prior losses match the reference
+    ``compute_intrinsic_loss`` (``training_utils.py:179-207``)."""
+    from SSR.training.training_utils import compute_intrinsic_loss
+    from intrinsicnerf_tpu.core.losses import compute_intrinsic_losses
+
+    rng = np.random.default_rng(13)
+    m = 256  # paired batch: 128 originals + 128 neighbors
+    albedo = rng.uniform(size=(m, 3)).astype(np.float32)
+    shading = rng.uniform(size=(m,)).astype(np.float32)
+    residual = rng.uniform(-0.2, 0.2, (m, 3)).astype(np.float32)
+    gt_rgb = rng.uniform(size=(m, 3)).astype(np.float32)
+    label = rng.integers(0, 4, size=(m,)).astype(np.float32)
+    disp = rng.uniform(0.1, 2.0, (m,)).astype(np.float32)
+    acc = rng.uniform(0.5, 1.0, (m,)).astype(np.float32)
+
+    ref = compute_intrinsic_loss(
+        _t(albedo), _t(shading), _t(residual), _t(gt_rgb),
+        _t(disp), _t(acc), _t(label),
+    )
+    got = compute_intrinsic_losses(
+        jnp.asarray(albedo), jnp.asarray(shading), jnp.asarray(residual),
+        jnp.asarray(gt_rgb), jnp.asarray(label), mask_mode="label",
+    )
+    names = ("chroma", "residual", "reflect_sparsity",
+             "shading_smooth", "far_reflect", "intensity")
+    for name, ref_v in zip(names, ref):
+        np.testing.assert_allclose(
+            float(getattr(got, name)), float(ref_v), rtol=1e-5, atol=1e-7,
+            err_msg=f"intrinsic loss {name} diverges from the reference",
+        )
