@@ -252,3 +252,49 @@ def test_intrinsic_losses_allclose():
             float(getattr(got, name)), float(ref_v), rtol=1e-5, atol=1e-7,
             err_msg=f"intrinsic loss {name} diverges from the reference",
         )
+
+
+def test_cluster_color_space_and_assignment_allclose():
+    """d_rgb mapping, inverse mapping and nearest-anchor assignment
+    match the reference ``Cluster`` math
+    (``SSR/training/cluster.py:275-341``)."""
+    from SSR.training.cluster import Cluster as RefCluster
+    from intrinsicnerf_tpu.cluster.assign import (
+        dest_class,
+        dest_color,
+        inv_map_drgb,
+        map_drgb,
+        table_from_numpy,
+    )
+
+    rng = np.random.default_rng(17)
+    rgb = rng.uniform(0.05, 0.95, (512, 3)).astype(np.float32)
+
+    ref = RefCluster(device=torch.device("cpu"))
+    d_ref = ref.mapping_color(_t(rgb)).numpy()
+    d_got = np.asarray(map_drgb(jnp.asarray(rgb)))
+    np.testing.assert_allclose(d_got, d_ref, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(inv_map_drgb(jnp.asarray(d_ref))), rgb, atol=1e-5
+    )
+
+    # synthetic anchor table shared by both implementations
+    anchors = rng.uniform(0.0, 0.6, (64, 3)).astype(np.float32)
+    links = rng.integers(0, 5, size=(64,))
+    centers = rng.uniform(size=(5, 3)).astype(np.float32)
+    ref.anchors = _t(anchors)
+    ref.links = torch.from_numpy(links).long()
+    ref.rgb_centers = _t(centers)
+
+    want_color = ref.dest_color(_t(rgb)).numpy()
+    want_class = ref.links[
+        ref.nearest_anchor(ref.mapping_color(_t(rgb)))
+    ].numpy()
+
+    table = table_from_numpy([(anchors, links, centers)], anchors_per_class=64)
+    zeros = jnp.zeros((rgb.shape[0],), jnp.int32)
+    got_color = np.asarray(dest_color(table, jnp.asarray(rgb), zeros))
+    got_class = np.asarray(dest_class(table, jnp.asarray(rgb), zeros))
+
+    np.testing.assert_allclose(got_color, want_color, atol=1e-6)
+    np.testing.assert_array_equal(got_class, want_class)
