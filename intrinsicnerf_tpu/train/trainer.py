@@ -287,6 +287,12 @@ class Trainer:
                 view["sem_entropy"] = np.asarray(
                     semantic_entropy(logits)
                 ).reshape(hs, ws)
+            # reference parity: NaN/Inf alarm on every rendered output
+            # dict (``trainer.py:803-807``, ``run_nerf.py:524-526``)
+            for k, v in view.items():
+                if not np.isfinite(v).all():
+                    print(f"! [Numerical Error] view {i} map '{k}' "
+                          f"contains nan or inf.")
             yield view
 
     def _save_view(self, save_dir: str, i: int, view: Dict[str, np.ndarray]):

@@ -26,7 +26,17 @@ def main():
     # loss-weight overrides (run.sh style: --w_s 10.0 --w_f 0.01)
     for k in ("w_r", "w_f", "w_s", "w_res1", "w_res2", "w_i1", "w_i2", "w_c"):
         parser.add_argument(f"--{k}", type=float, default=None)
+    parser.add_argument(
+        "--debug_nans", action="store_true",
+        help="enable jax_debug_nans (the reference's autograd "
+        "anomaly-mode analog, semantic_nerf.py:2)",
+    )
     args = parser.parse_args()
+
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     overrides = {}
     for k in ("w_r", "w_f", "w_s", "w_res1", "w_res2", "w_i1", "w_i2"):

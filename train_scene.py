@@ -107,7 +107,17 @@ def main():
         help="shard image pools over all devices (per-device ray batches, "
         "grad pmean); global batch = n_rays * n_devices",
     )
+    parser.add_argument(
+        "--debug_nans", action="store_true",
+        help="enable jax_debug_nans (the reference's autograd "
+        "anomaly-mode analog, semantic_nerf.py:2)",
+    )
     args = parser.parse_args()
+
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     from intrinsicnerf_tpu.config import from_yaml
     from intrinsicnerf_tpu.train.prepare import (
