@@ -23,10 +23,23 @@ def main():
     parser.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     parser.add_argument("--n-rays", type=int, default=64)
     parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument(
+        "--cpu-mesh",
+        type=int,
+        default=0,
+        metavar="N",
+        help="force an N-device virtual CPU mesh (XLA_FLAGS alone comes "
+        "too late when a sitecustomize imports jax at interpreter start)",
+    )
     args = parser.parse_args()
 
-    import numpy as np
     import jax
+
+    if args.cpu_mesh:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_mesh)
+
+    import numpy as np
     import jax.numpy as jnp
     import optax
 
