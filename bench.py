@@ -20,7 +20,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -32,14 +31,12 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from intrinsicnerf_tpu.cluster.assign import empty_cluster_table
+    from bench_common import make_synthetic_pools, time_steps
     from intrinsicnerf_tpu.cluster.manager import ClusterManager, build_cluster
-    from intrinsicnerf_tpu.core.rays import create_rays
     from intrinsicnerf_tpu.models.mlp import MLPConfig
     from intrinsicnerf_tpu.render.pipeline import RenderConfig
     from intrinsicnerf_tpu.train.schedules import make_lr_schedule
     from intrinsicnerf_tpu.train.step import (
-        DataPools,
         TrainConfig,
         create_train_state,
         make_train_step,
@@ -60,18 +57,7 @@ def main():
     opt = optax.adam(make_lr_schedule(tcfg.lrate, tcfg.lrate_decay))
 
     rng = np.random.default_rng(0)
-    c2ws = np.tile(np.eye(4, dtype=np.float32), (n_img, 1, 1))
-    c2ws[:, 2, 3] = -3.0 - 0.05 * np.arange(n_img)
-    fx = w / 2.0  # hfov 90
-    pools = DataPools(
-        rays=create_rays(
-            jnp.asarray(c2ws), h, w, fx, fx, (w - 1) / 2, (h - 1) / 2, 0.1, 10.0
-        ),
-        rgb=jnp.asarray(rng.uniform(size=(n_img, h * w, 3)).astype(np.float32)),
-        depth=jnp.asarray(rng.uniform(1, 5, size=(n_img, h * w)).astype(np.float32)),
-        semantic=jnp.asarray(rng.integers(0, n_classes, size=(n_img, h * w))),
-        mask_ids=jnp.ones((n_img,), jnp.int32),
-    )
+    pools = make_synthetic_pools(h, w, n_img, n_classes)
     # realistic cluster table: one real cluster per class
     cluster = build_cluster(
         np.clip(rng.uniform(0.1, 0.9, size=(2000, 3)), 0, 1), band_factor=1.0
@@ -84,22 +70,11 @@ def main():
     step = jax.jit(
         make_train_step(mcfg, rcfg, tcfg, opt, h, w), donate_argnums=(0,)
     )
-    key = jax.random.key(7)
-    w_c = jnp.float32(0.01)
-
-    # warmup / compile.  NOTE: sync via a host readback (float()), not
-    # block_until_ready — the axon tunnel backend returns early from
-    # block_until_ready, which silently inflates throughput ~30x.
-    for _ in range(5):
-        state, report = step(state, pools, table, w_c, key)
-    float(report.total)
-
+    # timing loop (host-readback sync caveat) lives in bench_common
     iters = 200
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, report = step(state, pools, table, w_c, key)
-    float(report.total)
-    dt = time.perf_counter() - t0
+    dt, state = time_steps(
+        step, state, pools, table, jnp.float32(0.01), jax.random.key(7), iters
+    )
 
     rays_per_step = 2 * tcfg.n_rays
     rays_per_s = rays_per_step * iters / dt

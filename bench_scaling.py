@@ -15,7 +15,6 @@ Usage:
 
 import argparse
 import json
-import time
 
 
 def main():
@@ -39,17 +38,16 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.cpu_mesh)
 
-    import numpy as np
     import jax.numpy as jnp
     import optax
 
+    from bench_common import make_synthetic_pools, time_steps
     from intrinsicnerf_tpu.cluster.assign import empty_cluster_table
-    from intrinsicnerf_tpu.core.rays import create_rays
     from intrinsicnerf_tpu.models.mlp import MLPConfig
     from intrinsicnerf_tpu.parallel.mesh import make_mesh, replicate, shard_pools
     from intrinsicnerf_tpu.parallel.sharded_step import make_sharded_train_step_for
     from intrinsicnerf_tpu.render.pipeline import RenderConfig
-    from intrinsicnerf_tpu.train.step import DataPools, TrainConfig, create_train_state
+    from intrinsicnerf_tpu.train.step import TrainConfig, create_train_state
 
     h = w = 32
     n_classes = 8
@@ -69,23 +67,18 @@ def main():
         raw_noise_std=1.0,
     )
     tcfg = TrainConfig(n_rays=args.n_rays)
-    rng = np.random.default_rng(0)
     max_dev = max(args.devices)
-    c2ws = np.tile(np.eye(4, dtype=np.float32), (max_dev, 1, 1))
-    c2ws[:, 2, 3] = -3.0 - 0.05 * np.arange(max_dev)
-    pools_host = DataPools(
-        rays=create_rays(jnp.asarray(c2ws), h, w, w / 2, w / 2, (w - 1) / 2,
-                         (h - 1) / 2, 0.1, 10.0),
-        rgb=jnp.asarray(rng.uniform(size=(max_dev, h * w, 3)).astype(np.float32)),
-        depth=None,
-        semantic=jnp.asarray(rng.integers(0, n_classes, size=(max_dev, h * w))),
-        mask_ids=jnp.ones((max_dev,), jnp.int32),
-    )
+    pools_host = make_synthetic_pools(h, w, max_dev, n_classes, with_depth=False)
+
+    runnable = [n for n in args.devices if n <= jax.device_count()]
+    if not runnable:
+        raise SystemExit(
+            f"no requested device count fits the {jax.device_count()} "
+            f"available device(s); use --cpu-mesh N for a virtual mesh"
+        )
 
     results = {}
-    for n_dev in args.devices:
-        if n_dev > jax.device_count():
-            continue
+    for n_dev in runnable:
         mesh = make_mesh(n_dev)
         opt = optax.adam(5e-4)
         # image count must divide the mesh: take the first n_dev images
@@ -100,22 +93,31 @@ def main():
         step = make_sharded_train_step_for(
             mcfg, rcfg, tcfg, opt, h, w, mesh, pools
         )
-        key = jax.random.key(1)
-        for _ in range(3):
-            state, report = step(state, pools, table, jnp.float32(0.0), key)
-        float(report.total)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            state, report = step(state, pools, table, jnp.float32(0.0), key)
-        float(report.total)
-        dt = (time.perf_counter() - t0) / args.iters
+        total_s, _ = time_steps(
+            step, state, pools, table, jnp.float32(0.0), jax.random.key(1),
+            args.iters, warmup=3,
+        )
+        dt = total_s / args.iters
         rays_s = 2 * tcfg.n_rays * n_dev / dt
         results[n_dev] = {"ms_per_step": dt * 1000, "global_rays_per_s": rays_s}
 
-    base = results[min(results)]["ms_per_step"]
+    # weak scaling: fixed per-device batch -> ideal is constant ms/step.
+    # efficiency is relative to the smallest device count that ran
+    # (= 1 device when 1 is in --devices); record the base explicitly so
+    # a 4-vs-8 ratio can't masquerade as "vs 1 device".
+    base_dev = min(results)
+    base = results[base_dev]["ms_per_step"]
     for n_dev, r in results.items():
         r["weak_scaling_efficiency"] = round(base / r["ms_per_step"], 3)
-    print(json.dumps({"backend": jax.default_backend(), "results": results}))
+    print(
+        json.dumps(
+            {
+                "backend": jax.default_backend(),
+                "efficiency_baseline_devices": base_dev,
+                "results": results,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

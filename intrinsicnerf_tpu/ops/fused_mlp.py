@@ -394,18 +394,25 @@ def fused_mlp_apply(
 
 
 def build_in8(
-    cfg: MLPConfig, pts: jnp.ndarray, viewdirs: Optional[jnp.ndarray]
+    cfg: MLPConfig, pts: jnp.ndarray, viewdirs: jnp.ndarray
 ) -> jnp.ndarray:
     """[N, S, 3] pts + [N, 3] dirs -> packed [N*S, IN8_W] kernel input
-    ``[x, y, z, dx, dy, dz, 1, 0]`` (the PE expands in-kernel)."""
+    ``[x, y, z, dx, dy, dz, 1, 0]`` (the PE expands in-kernel).
+
+    ``viewdirs`` is required: the constant-1 phase column makes the
+    dir-PE cosine columns evaluate to cos(0)=1 for zero dirs (not 0),
+    so a dirs-off mode cannot be faked with zeros — the model-level
+    ``eval_points`` routes viewdirs=None to the XLA path instead."""
+    if viewdirs is None:
+        raise ValueError(
+            "fused kernel requires viewdirs; use models.mlp.eval_points "
+            "(XLA path) for the viewdirs-off architecture"
+        )
     n, s, _ = pts.shape
     pts = pts.reshape(n * s, 3).astype(jnp.float32)
-    if viewdirs is not None:
-        dirs = jnp.broadcast_to(
-            viewdirs.astype(jnp.float32)[:, None, :], (n, s, 3)
-        ).reshape(n * s, 3)
-    else:
-        dirs = jnp.zeros_like(pts)  # wv_d is zero-padded; PE(0) is inert
+    dirs = jnp.broadcast_to(
+        viewdirs.astype(jnp.float32)[:, None, :], (n, s, 3)
+    ).reshape(n * s, 3)
     ones = jnp.ones((n * s, 1), jnp.float32)
     zeros = jnp.zeros((n * s, 1), jnp.float32)
     return jnp.concatenate([pts, dirs, ones, zeros], axis=-1)
@@ -415,7 +422,7 @@ def fused_eval_points(
     params: Params,
     cfg: MLPConfig,
     pts: jnp.ndarray,  # [N, S, 3]
-    viewdirs: Optional[jnp.ndarray],  # [N, 3]
+    viewdirs: jnp.ndarray,  # [N, 3] (required — see build_in8)
     want_endpoint_feat: bool = False,
 ) -> RawOutputs:
     """Drop-in replacement for ``models.mlp.eval_points`` on the

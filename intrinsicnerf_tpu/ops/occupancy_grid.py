@@ -102,6 +102,5 @@ def occupancy_guided_z_vals(
     occ = (lookup(grid, pts) > threshold).astype(jnp.float32)
     # uniform floor keeps empty rays valid and preserves exploration
     weights = occ + eps_floor
-    z = sample_pdf(z_uniform, weights[..., : z_uniform.shape[-1] - 1],
-                   z_uniform.shape[-1], key=key, det=det)
+    z = sample_pdf(z_uniform, weights, z_uniform.shape[-1], key=key, det=det)
     return jnp.sort(z, axis=-1)

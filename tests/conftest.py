@@ -2,14 +2,18 @@
 run without a TPU pod (SURVEY.md §4's multi-host test strategy)."""
 
 import os
+import re
 
 # The session environment pins JAX_PLATFORMS=axon (the real TPU tunnel);
 # unit tests must run on the virtual CPU mesh, so override unconditionally.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+_m = re.search(r"xla_force_host_platform_device_count=(\d+)", flags)
+# honor a user-specified device count (e.g. a 16-way mesh run)
+_n_devices = int(_m.group(1)) if _m else 8
+if _m is None:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        flags + f" --xla_force_host_platform_device_count={_n_devices}"
     ).strip()
 
 # The axon sitecustomize (PALLAS_AXON_POOL_IPS set) imports jax at
@@ -19,7 +23,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_num_cpu_devices", _n_devices)
 
 import numpy as np
 import pytest

@@ -27,9 +27,12 @@ if not os.path.isdir(os.path.join(REF, "SSR")):
 sys.path.insert(0, REF)
 
 # the reference package __init__ pulls in GUI/mesh deps we don't need
-# for the math oracle; stub them so the model modules import cleanly
+# for the math oracle; stub them so the model modules import cleanly.
+# All patches are reverted in the module teardown below so they cannot
+# leak into other test modules in the same pytest session.
 import types  # noqa: E402
 
+_stubbed_mods = []
 for _mod in ("open3d", "trimesh", "imgviz", "cv2"):
     if _mod not in sys.modules:
         try:
@@ -38,10 +41,19 @@ for _mod in ("open3d", "trimesh", "imgviz", "cv2"):
             stub = types.ModuleType(_mod)
             stub.__getattr__ = lambda name: (lambda *a, **k: None)
             sys.modules[_mod] = stub
+            _stubbed_mods.append(_mod)
 
 # the reference hard-codes .cuda() inside raw2outputs; run it on CPU
 _orig_cuda = torch.Tensor.cuda
 torch.Tensor.cuda = lambda self, *a, **k: self
+
+
+def teardown_module(_module=None):
+    torch.Tensor.cuda = _orig_cuda
+    for _mod in _stubbed_mods:
+        sys.modules.pop(_mod, None)
+    if REF in sys.path:
+        sys.path.remove(REF)
 
 from SSR.models.semantic_nerf import Semantic_NeRF, get_embedder  # noqa: E402
 from SSR.models import model_utils as ref_model_utils  # noqa: E402

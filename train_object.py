@@ -43,6 +43,15 @@ def main():
         v = getattr(args, k)
         if v is not None:
             overrides[k] = v
+    if args.w_c is not None:
+        # reference parity: run_nerf.py:957 ignores --w_c and uses the
+        # annealed schedule (run_nerf.py:1063); accept the flag for CLI
+        # compatibility but say so instead of silently dropping it
+        print(
+            "WARNING: --w_c is accepted for reference-CLI compatibility "
+            "but ignored — the cluster-loss weight follows the annealed "
+            "schedule, matching the reference (run_nerf.py:957,1063)"
+        )
     if args.expname:
         overrides["expname"] = args.expname
 
