@@ -37,7 +37,7 @@ blocks across the sequential TPU grid.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
