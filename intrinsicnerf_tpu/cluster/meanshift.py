@@ -81,10 +81,24 @@ def mean_shift(
     if n == 0:
         raise ValueError("mean_shift called with no points")
     seeds = _bin_seeds(x, bandwidth) if bin_seeding else x.copy()
+    bw2 = bandwidth * bandwidth
+
+    # native C++ kernel (OpenMP over seeds) when the toolchain built it;
+    # identical flat-kernel update, per-seed convergence like sklearn
+    try:
+        from intrinsicnerf_tpu import native as _native
+
+        if _native.native_available():
+            centers, support = _native.meanshift_iterate(
+                x, seeds.astype(np.float64), bandwidth, max_iter
+            )
+            return _postprocess(x, centers, support, bw2, point_block)
+    except Exception as e:  # pragma: no cover - toolchain-dependent
+        print(f"[cluster] native mean-shift unavailable ({e}); using numpy")
+
     centers = seeds.astype(np.float64).copy()
     active = np.ones(len(centers), dtype=bool)
     stop_thresh = 1e-3 * bandwidth
-    bw2 = bandwidth * bandwidth
 
     x2 = np.sum(x**2, axis=1)
     for _ in range(max_iter):
@@ -122,13 +136,19 @@ def mean_shift(
             - 2.0 * centers @ xb.T
         )
         support += (d2 <= bw2).sum(axis=1)
+    return _postprocess(x, centers, support, bw2, point_block)
+
+
+def _postprocess(x, centers, support, bw2, point_block):
+    """Drop no-support seeds, merge near-duplicate centers (highest
+    support wins), label every point by its nearest surviving center."""
+    n = x.shape[0]
     keep = support > 0
     centers, support = centers[keep], support[keep]
     if len(centers) == 0:  # pathological tiny bandwidth: every point its own
         centers = x[:1].copy()
         support = np.array([n])
 
-    # merge near-duplicates: highest support wins
     order = np.argsort(-support, kind="stable")
     centers = centers[order]
     alive = np.ones(len(centers), dtype=bool)

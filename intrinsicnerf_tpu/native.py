@@ -32,12 +32,13 @@ def _load() -> Optional[ctypes.CDLL]:
             if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
                 _SRC
             ):
-                subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-o", _SO, _SRC],
-                    check=True,
-                    capture_output=True,
-                )
+                base = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                        "-o", _SO, _SRC]
+                try:  # OpenMP parallelizes the mean-shift seed loop
+                    subprocess.run(base + ["-fopenmp"], check=True,
+                                   capture_output=True)
+                except subprocess.CalledProcessError:
+                    subprocess.run(base, check=True, capture_output=True)
             lib = ctypes.CDLL(_SO)
             lib.mc_run.restype = ctypes.c_int
             lib.mc_num_vertices.restype = ctypes.c_int64

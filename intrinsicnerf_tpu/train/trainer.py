@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Optional
 
 import numpy as np
@@ -193,6 +194,10 @@ class Trainer:
         self.table: ClusterTable = empty_cluster_table(self.n_table_classes)
         self.w_c = 0.01
         self.b_f = 0.25
+        # PNG writes run off-thread so the render loop keeps the chip
+        # busy; flush_io() joins them before anything reads the files
+        self._io_pool = ThreadPoolExecutor(max_workers=8)
+        self._io_futures = []
 
         self._render = jax.jit(
             lambda pc, pf, rays: render_rays_chunked(
@@ -252,6 +257,7 @@ class Trainer:
                 self.rebuild_clusters(i + 1)
             if (i + 1) % log.step_val == 0:
                 self.evaluate(i + 1)
+        self.flush_io()
         return report
 
     def _log_scalars(self, step, report, dt):
@@ -261,14 +267,35 @@ class Trainer:
 
     # ------------------------------------------------------- full renders
 
+    def _save_async(self, path: str, arr: np.ndarray):
+        self._io_futures.append(self._io_pool.submit(_save_img, path, arr))
+
+    def flush_io(self):
+        """Join pending off-thread image writes (call before reading the
+        rendered files, e.g. for video generation)."""
+        for f in self._io_futures:
+            f.result()
+        self._io_futures.clear()
+
     def render_views(self, rays_all: jnp.ndarray):
         """Render every view in ``rays_all [N, HW, 11]``; yields per-view
-        dicts of numpy maps at the scaled resolution."""
+        dicts of numpy maps at the scaled resolution.  The next view's
+        render is dispatched before the current one is pulled to host
+        (JAX async dispatch), overlapping device and host work."""
         hs, ws = self.bundle.h_scaled, self.bundle.w_scaled
-        for i in range(rays_all.shape[0]):
-            out = self._render(
-                self.state.params_coarse, self.state.params_fine, rays_all[i]
+        n = rays_all.shape[0]
+        pending = None
+        if n:
+            pending = self._render(
+                self.state.params_coarse, self.state.params_fine, rays_all[0]
             )
+        for i in range(n):
+            out = pending
+            if i + 1 < n:
+                pending = self._render(
+                    self.state.params_coarse, self.state.params_fine,
+                    rays_all[i + 1],
+                )
             maps = out.fine if out.fine is not None else out.coarse
             view = {
                 "rgb": np.asarray(maps.rgb).reshape(hs, ws, 3),
@@ -297,23 +324,23 @@ class Trainer:
 
     def _save_view(self, save_dir: str, i: int, view: Dict[str, np.ndarray]):
         near, far = self.cfg.depth_range
-        _save_img(os.path.join(save_dir, f"rgb_{i:03d}.png"), to8b(view["rgb"]))
-        _save_img(os.path.join(save_dir, f"albedo_{i:03d}.png"), to8b(view["albedo"]))
-        _save_img(
+        self._save_async(os.path.join(save_dir, f"rgb_{i:03d}.png"), to8b(view["rgb"]))
+        self._save_async(os.path.join(save_dir, f"albedo_{i:03d}.png"), to8b(view["albedo"]))
+        self._save_async(
             os.path.join(save_dir, f"shading_{i:03d}.png"), to8b(view["shading"])
         )
-        _save_img(
+        self._save_async(
             os.path.join(save_dir, f"residual_{i:03d}.png"), to8b(view["residual"])
         )
-        _save_img(
+        self._save_async(
             os.path.join(save_dir, f"disp_{i:03d}.png"),
             np.clip(np.nan_to_num(view["disp"]), 0, 65535).astype(np.uint16),
         )
-        _save_img(
+        self._save_async(
             os.path.join(save_dir, f"depth_{i:03d}.png"),
             (view["depth"] * 1000).astype(np.uint16),
         )
-        _save_img(
+        self._save_async(
             os.path.join(save_dir, f"vis_depth_{i:03d}.png"),
             depth2rgb(view["depth"], min_value=near, max_value=far),
         )
@@ -322,16 +349,16 @@ class Trainer:
             if cmap is None:
                 cmap = label_colormap(self.bundle.num_valid_classes + 1)
             vis_sem = cmap[1:][view["sem_label"]].astype(np.uint8)
-            _save_img(
+            self._save_async(
                 os.path.join(save_dir, f"label_{i:03d}.png"),
                 view["sem_label"].astype(np.uint8),
             )
-            _save_img(os.path.join(save_dir, f"vis_label_{i:03d}.png"), vis_sem)
-            _save_img(
+            self._save_async(os.path.join(save_dir, f"vis_label_{i:03d}.png"), vis_sem)
+            self._save_async(
                 os.path.join(save_dir, f"entropy_{i:03d}.png"),
                 to8b(view["sem_entropy"]),
             )
-            _save_img(
+            self._save_async(
                 os.path.join(save_dir, f"vis_entropy_{i:03d}.png"),
                 depth2rgb(view["sem_entropy"]),
             )
@@ -374,6 +401,7 @@ class Trainer:
         if save:
             mgr.save(os.path.join(save_dir, "cluster"))
             self._save_cluster_previews(save_dir, views)
+        self.flush_io()
 
     def _save_cluster_previews(self, save_dir: str, views):
         """c%03d.png (clustered albedo) and edit%03d.png (recomposed)."""
@@ -390,12 +418,12 @@ class Trainer:
             clustered = np.asarray(
                 dest_color_chunked(self.table, albedo, label)
             ).reshape(hs, ws, 3)
-            _save_img(os.path.join(save_dir, f"c{i:03d}.png"), to8b(clustered))
+            self._save_async(os.path.join(save_dir, f"c{i:03d}.png"), to8b(clustered))
             edit = (
                 clustered.reshape(-1, 3) * view["shading"].reshape(-1, 1)
                 + view["residual"].reshape(-1, 3)
             ).reshape(hs, ws, 3)
-            _save_img(os.path.join(save_dir, f"edit{i:03d}.png"), to8b(edit))
+            self._save_async(os.path.join(save_dir, f"edit{i:03d}.png"), to8b(edit))
 
     # ------------------------------------------------------------- eval
 
@@ -443,6 +471,7 @@ class Trainer:
         self.logger.scalars(step, {f"Test/{k}": v for k, v in metrics.items()})
         print(f"eval @{step}: " + ", ".join(f"{k}={v:.4g}" for k, v in metrics.items()))
         if save:
+            self.flush_io()  # video generation reads the PNGs from disk
             try:  # mp4s of every rendered modality (trainer.py:1088-1093)
                 from intrinsicnerf_tpu.tools.video import generate_all
 

@@ -246,8 +246,12 @@ void meanshift_iterate(const double* points, int64_t n_points,
                        double bandwidth, int max_iter, double tol,
                        int64_t* support_out) {
   const double bw2 = bandwidth * bandwidth;
-  std::vector<double> acc(dim);
+  // seed trajectories are independent: parallelize across seeds
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 4)
+#endif
   for (int64_t s = 0; s < n_seeds; ++s) {
+    std::vector<double> acc(dim);
     double* seed = seeds + s * dim;
     int64_t count = 0;
     for (int it = 0; it < max_iter; ++it) {

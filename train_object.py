@@ -108,6 +108,7 @@ def main():
         rays = bundle.rays_test if args.render_test else bundle.rays_vis
         for i, view in enumerate(trainer.render_views(rays)):
             trainer._save_view(save_dir, i, view)
+        trainer.flush_io()
         print(f"renders written to {save_dir}")
         return
 
