@@ -33,20 +33,31 @@ def estimate_bandwidth(
         x = x[idx]
     n = x.shape[0]
     k = max(1, int(n * quantile))
-    # pairwise distances in blocks to bound memory
+
+    try:  # OpenMP C++ kernel when the toolchain built it
+        from intrinsicnerf_tpu import native as _native
+
+        if _native.native_available():
+            return _native.estimate_bandwidth_kth(x, k)
+    except Exception:  # pragma: no cover - toolchain-dependent
+        pass
+
+    # numpy fallback: pairwise distances in blocks to bound memory.
+    # partition the SQUARED distances (monotone) and sqrt only the
+    # k-th order statistic — no full-matrix sqrt, no k-column copy.
     block = 1024
+    x2 = np.sum(x**2, axis=1)
     total = 0.0
     for s in range(0, n, block):
         d2 = (
-            np.sum(x[s : s + block] ** 2, axis=1)[:, None]
-            + np.sum(x**2, axis=1)[None, :]
+            x2[s : s + block, None]
+            + x2[None, :]
             - 2.0 * x[s : s + block] @ x.T
         )
         np.maximum(d2, 0.0, out=d2)
-        d = np.sqrt(d2)
         # distance to the k-th nearest (k neighbors including self)
-        kth = np.partition(d, k - 1, axis=1)[:, :k]
-        total += np.max(kth, axis=1).sum()
+        kth = np.partition(d2, k - 1, axis=1)[:, k - 1]
+        total += np.sqrt(kth).sum()
     return float(total / n)
 
 

@@ -44,6 +44,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.mc_num_vertices.restype = ctypes.c_int64
             lib.mc_num_triangles.restype = ctypes.c_int64
             lib.filter_small_components.restype = ctypes.c_int64
+            lib.estimate_bandwidth_kth.restype = ctypes.c_double
             _lib = lib
         except (subprocess.CalledProcessError, OSError) as e:
             print(f"[native] build/load failed, using numpy fallbacks: {e}")
@@ -134,6 +135,22 @@ def meanshift_iterate(
         support.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return seeds, support
+
+
+def estimate_bandwidth_kth(points: np.ndarray, k: int) -> float:
+    """Mean distance to the k-th nearest neighbor (self included)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native bandwidth estimator unavailable")
+    points = np.ascontiguousarray(points, np.float64)
+    return float(
+        lib.estimate_bandwidth_kth(
+            points.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int64(len(points)),
+            ctypes.c_int(points.shape[1]),
+            ctypes.c_int64(k),
+        )
+    )
 
 
 # ------------------------------------------------------------- fallbacks

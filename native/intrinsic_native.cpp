@@ -16,6 +16,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC -o libintrinsic_native.so
 //        intrinsic_native.cpp
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cmath>
@@ -281,6 +282,34 @@ void meanshift_iterate(const double* points, int64_t n_points,
     }
     support_out[s] = count;
   }
+}
+
+// sklearn-style bandwidth estimate: mean distance to the k-th nearest
+// neighbor (self included), parallelized over query points
+double estimate_bandwidth_kth(const double* x, int64_t n, int dim,
+                              int64_t k) {
+  if (n == 0 || k <= 0) return 0.0;
+  if (k > n) k = n;
+  double total = 0.0;
+#ifdef _OPENMP
+#pragma omp parallel for reduction(+ : total) schedule(static)
+#endif
+  for (int64_t i = 0; i < n; ++i) {
+    std::vector<double> d2(n);
+    const double* xi = x + i * dim;
+    for (int64_t j = 0; j < n; ++j) {
+      const double* xj = x + j * dim;
+      double acc = 0.0;
+      for (int d = 0; d < dim; ++d) {
+        double diff = xi[d] - xj[d];
+        acc += diff * diff;
+      }
+      d2[j] = acc;
+    }
+    std::nth_element(d2.begin(), d2.begin() + (k - 1), d2.end());
+    total += std::sqrt(d2[k - 1]);
+  }
+  return total / static_cast<double>(n);
 }
 
 }  // extern "C"
