@@ -200,6 +200,12 @@ def eval_points(
         # in the remainder; otherwise fall back to the XLA path
         if cfg.input_ch <= DIR_OFF and cfg.input_ch_views <= IN_W - DIR_OFF:
             return fused_eval_points(params, cfg, pts, viewdirs)
+    from intrinsicnerf_tpu.ops.fused_mlp import is_packed, unpack_weights
+
+    if is_packed(params):
+        # packed training state reaching an XLA-path eval (endpoint_feat,
+        # viewdirs-off, non-reference arch): slice back to the pytree
+        params = unpack_weights(params, cfg)
     pe_pts = positional_encoding(
         pts, cfg.n_freqs_pos, scalar_factor=cfg.pos_scalar_factor
     )

@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from intrinsicnerf_tpu.core.compositing import RawOutputs
 from intrinsicnerf_tpu.models.mlp import MLPConfig, Params
 
-TILE_FWD = 1024  # points per fwd grid step
+TILE_FWD = 2048  # points per fwd grid step (tuned on v5e: 3.78 ms vs 3.86 @1024)
 TILE_BWD = 1024  # points per bwd grid step (VMEM-bound: keeps all acts)
 # the bwd kernel's weights+grads+activations sit right at Mosaic's 16MB
 # default scoped-vmem limit; raise it explicitly (v5e has far more VMEM)
@@ -188,6 +188,71 @@ _PACKED_KEYS = tuple(
 )
 
 
+def is_packed(params) -> bool:
+    """True when ``params`` is already the kernel's packed dict (the
+    training state stores packed weights so the per-step pack/unpack
+    pad+slice traffic — measured ~1.8 ms/step on v5e — never happens)."""
+    return isinstance(params, dict) and "w0" in params and "trunk" not in params
+
+
+def unpack_weights(p: Dict[str, jnp.ndarray], cfg: MLPConfig) -> Params:
+    """Inverse of :func:`pack_weights`: slice the dense padded blocks
+    back into the model pytree (checkpoints, XLA-path eval, tools)."""
+    W = cfg.width
+    H = W // 2
+    C = cfg.num_semantic_classes
+    in_ch, in_ch_views = cfg.input_ch, cfg.input_ch_views
+
+    def lay(wk, bk, rows, cols, row_off=0, col_off=0):
+        return {
+            "kernel": p[wk][row_off : row_off + rows, col_off : col_off + cols],
+            "bias": p[bk][0, col_off : col_off + cols],
+        }
+
+    trunk = [lay("w0", "b0", in_ch, W)]
+    for i in range(1, 5):
+        trunk.append(lay(f"w{i}", f"b{i}", W, W))
+    trunk.append(
+        {
+            "kernel": jnp.concatenate([p["w5x"][:in_ch], p["w5h"][:W]], axis=0),
+            "bias": p["b5"][0, :W],
+        }
+    )
+    for i in (6, 7):
+        trunk.append(lay(f"w{i}", f"b{i}", W, W))
+
+    out: Params = {"trunk": trunk}
+    out["sigma"] = lay("w_sig", "b_sig", W, 1, col_off=0)
+    out["albedo1"] = lay("w_a1", "b_a1", W, H)
+    out["albedo2"] = lay("w_a2", "b_a2", H, 3, col_off=1)
+    out["shading1"] = lay("w_s1", "b_s1", W, H)
+    out["shading2"] = lay("w_s2", "b_s2", H, 1, col_off=4)
+    out["feature"] = lay("w_f", "b_f", W, W)
+    out["views"] = {
+        "kernel": jnp.concatenate(
+            [p["wv_f"][:W], p["wv_d"][DIR_OFF : DIR_OFF + in_ch_views]], axis=0
+        ),
+        "bias": p["b_v"][0, :H],
+    }
+    out["residual"] = lay("w_r", "b_r", H, 3, col_off=5)
+    if cfg.enable_semantic:
+        out["sem1"] = lay("w_m1", "b_m1", W, H)
+        out["sem2"] = lay("w_m2", "b_m2", H, C, col_off=8)
+    return out
+
+
+def packed_grad_masks(params_template: Params, cfg: MLPConfig):
+    """0/1 masks over the packed blocks marking real parameter slots.
+
+    Training on packed state must project gradients onto the reference
+    architecture: the padded columns (e.g. ``w_sig[:, 1:]``, which alias
+    other heads' output slots) receive *nonzero* cross-head gradients
+    from the shared output matmul, and updating them would add
+    cross-head mixing capacity the reference model doesn't have."""
+    ones = jax.tree_util.tree_map(jnp.ones_like, params_template)
+    return pack_weights(ones, cfg)
+
+
 def _mm(a, b):
     return jnp.dot(
         a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
@@ -195,10 +260,14 @@ def _mm(a, b):
     )
 
 
-def _forward_tile(w, feat, save_dtype=jnp.float32):
+def _forward_tile(w, feat, save_dtype=jnp.float32, want_out=True):
     """feat: [T, IN_W] packed PE block.  Returns (out, saved acts).
     ``save_dtype=bfloat16`` halves the backward kernel's VMEM residency
-    (the saved activations only feed bf16 matmuls and relu masks)."""
+    (the saved activations only feed bf16 matmuls and relu masks).
+    ``want_out=False`` (backward remat) skips the five head-output
+    matmuls — their result is never a residual, only the intermediate
+    activations are, so recomputing them would waste ~4% of the
+    backward kernel's MXU time."""
     sv = lambda x: x.astype(save_dtype)
     h = jax.nn.relu(_mm(feat, w["w0"]) + w["b0"])
     acts = [sv(h)]
@@ -218,13 +287,15 @@ def _forward_tile(w, feat, save_dtype=jnp.float32):
     f = _mm(H, w["w_f"]) + w["b_f"]
     v = jax.nn.relu(_mm(f, w["wv_f"]) + _mm(feat, w["wv_d"]) + w["b_v"])
 
-    out = (
-        _mm(H, w["w_sig"]) + w["b_sig"]
-        + _mm(a1, w["w_a2"]) + w["b_a2"]
-        + _mm(s1, w["w_s2"]) + w["b_s2"]
-        + _mm(v, w["w_r"]) + w["b_r"]
-        + _mm(m1, w["w_m2"]) + w["b_m2"]
-    )
+    out = None
+    if want_out:
+        out = (
+            _mm(H, w["w_sig"]) + w["b_sig"]
+            + _mm(a1, w["w_a2"]) + w["b_a2"]
+            + _mm(s1, w["w_s2"]) + w["b_s2"]
+            + _mm(v, w["w_r"]) + w["b_r"]
+            + _mm(m1, w["w_m2"]) + w["b_m2"]
+        )
     return out, {
         "acts": acts, "a1": sv(a1), "s1": sv(s1), "m1": sv(m1),
         "f": sv(f), "v": sv(v),
@@ -251,7 +322,7 @@ def _bwd_kernel(in8_ref, g_ref, pe_ref, sm_ref, *refs):
             r[...] = jnp.zeros_like(r)
 
     feat = _compute_feat(in8_ref[...], pe_ref[...], sm_ref[...])
-    _, st = _forward_tile(w, feat)
+    _, st = _forward_tile(w, feat, want_out=False)
     acts = st["acts"]
     H = acts[7]
     go = g_ref[...]
@@ -383,8 +454,10 @@ _fused_packed.defvjp(_fused_fwd, _fused_bwd)
 def fused_mlp_apply(
     params: Params, cfg: MLPConfig, in8: jnp.ndarray
 ) -> jnp.ndarray:
-    """in8: packed [P, IN8_W] point block -> packed [P, OUT_W] raw outputs."""
-    packed = pack_weights(params, cfg)
+    """in8: packed [P, IN8_W] point block -> packed [P, OUT_W] raw outputs.
+    ``params`` may be the model pytree or an already-packed dict (the
+    packed training state skips the per-step pad/slice traffic)."""
+    packed = params if is_packed(params) else pack_weights(params, cfg)
     packed_tuple = tuple(packed[k] for k in _PACKED_KEYS)
     n = in8.shape[0]
     pad = (-n) % max(TILE_FWD, TILE_BWD)

@@ -27,6 +27,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, NamedTuple, Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -112,6 +114,23 @@ class LossReport(NamedTuple):
     reflect_cluster: jnp.ndarray
 
 
+def packs_state(mcfg: MLPConfig) -> bool:
+    """Whether the training state stores kernel-packed weights.  Mirrors
+    the fused-path eligibility in ``models.mlp.eval_points`` — packed
+    state removes the per-step pack/unpack pad+slice+copy traffic
+    (~1.8 ms/step measured on v5e at the bench config)."""
+    from intrinsicnerf_tpu.ops.fused_mlp import DIR_OFF, IN_W
+
+    return (
+        mcfg.use_fused_kernel
+        and mcfg.depth == 8
+        and tuple(mcfg.skips) == (4,)
+        and mcfg.use_viewdirs
+        and mcfg.input_ch <= DIR_OFF
+        and mcfg.input_ch_views <= IN_W - DIR_OFF
+    )
+
+
 def create_train_state(
     key: jax.Array,
     mcfg: MLPConfig,
@@ -124,6 +143,11 @@ def create_train_state(
     kc, kf = jax.random.split(key)
     pc = init_mlp_params(kc, mcfg)
     pf = init_mlp_params(kf, mcfg) if with_fine else None
+    if packs_state(mcfg):
+        from intrinsicnerf_tpu.ops.fused_mlp import pack_weights
+
+        pc = pack_weights(pc, mcfg)
+        pf = pack_weights(pf, mcfg) if pf is not None else None
     opt_state = optimizer.init({"coarse": pc, "fine": pf})
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -148,6 +172,19 @@ def make_train_step(
     that mesh axis (multi-chip data parallelism).  ``sample_fn(key,
     pools, step) -> RayBatch`` overrides the default pool sampler (the
     object pipeline uses the pose-based one with precrop)."""
+    grad_mask = None
+    if packs_state(mcfg):
+        from intrinsicnerf_tpu.models.mlp import init_mlp_params
+        from intrinsicnerf_tpu.ops.fused_mlp import packed_grad_masks
+
+        # 0/1 projection onto the reference architecture: the packed
+        # padding slots receive nonzero cross-head gradients from the
+        # shared output matmul and must not be trained (see
+        # ops/fused_mlp.packed_grad_masks)
+        template = init_mlp_params(jax.random.key(0), mcfg)
+        grad_mask = jax.tree_util.tree_map(
+            np.asarray, packed_grad_masks(template, mcfg)
+        )
 
     def loss_terms(maps, batch, w_res, w_i, cluster_target, w_c):
         img = img2mse(maps.rgb, batch.rgb)
@@ -270,6 +307,12 @@ def make_train_step(
         (total, (t_c, t_f)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params
         )
+        if grad_mask is not None:
+            mask_tree = {
+                "coarse": grad_mask,
+                "fine": grad_mask if grads["fine"] is not None else None,
+            }
+            grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask_tree)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             total = jax.lax.pmean(total, axis_name)
