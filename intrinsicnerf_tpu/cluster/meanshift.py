@@ -19,6 +19,24 @@ from __future__ import annotations
 import numpy as np
 
 
+def _native_or_none():
+    """The C++ OpenMP kernels, or None when the toolchain can't build
+    them.  Only the *availability probe* is exception-guarded — once a
+    kernel is deemed available, bugs in it (or in result postprocessing)
+    must surface, not silently fall back to numpy."""
+    try:
+        from intrinsicnerf_tpu import native
+
+        if native.native_available():
+            return native
+    except Exception as e:  # pragma: no cover - toolchain-dependent
+        print(f"[cluster] native kernels unavailable ({e}); using numpy")
+    return None
+
+
+_NATIVE = _native_or_none()
+
+
 def estimate_bandwidth(
     x: np.ndarray,
     quantile: float = 0.3,
@@ -34,13 +52,8 @@ def estimate_bandwidth(
     n = x.shape[0]
     k = max(1, int(n * quantile))
 
-    try:  # OpenMP C++ kernel when the toolchain built it
-        from intrinsicnerf_tpu import native as _native
-
-        if _native.native_available():
-            return _native.estimate_bandwidth_kth(x, k)
-    except Exception:  # pragma: no cover - toolchain-dependent
-        pass
+    if _NATIVE is not None:  # OpenMP C++ kernel when the toolchain built it
+        return _NATIVE.estimate_bandwidth_kth(x, k)
 
     # numpy fallback: pairwise distances in blocks to bound memory.
     # partition the SQUARED distances (monotone) and sqrt only the
@@ -96,16 +109,11 @@ def mean_shift(
 
     # native C++ kernel (OpenMP over seeds) when the toolchain built it;
     # identical flat-kernel update, per-seed convergence like sklearn
-    try:
-        from intrinsicnerf_tpu import native as _native
-
-        if _native.native_available():
-            centers, support = _native.meanshift_iterate(
-                x, seeds.astype(np.float64), bandwidth, max_iter
-            )
-            return _postprocess(x, centers, support, bw2, point_block)
-    except Exception as e:  # pragma: no cover - toolchain-dependent
-        print(f"[cluster] native mean-shift unavailable ({e}); using numpy")
+    if _NATIVE is not None:
+        centers, support = _NATIVE.meanshift_iterate(
+            x, seeds.astype(np.float64), bandwidth, max_iter
+        )
+        return _postprocess(x, centers, support, bw2, point_block)
 
     centers = seeds.astype(np.float64).copy()
     active = np.ones(len(centers), dtype=bool)

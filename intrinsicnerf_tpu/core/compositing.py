@@ -105,7 +105,11 @@ def composite(
 
     depth_map = comp_scalar(z_vals)
     acc_map = jnp.sum(weights, axis=-1)
-    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / acc_map)
+    # identical to the reference's 1/max(1e-10, depth/acc) wherever
+    # acc > 0; the acc == 0 ray (0/0 -> NaN in the reference) is mapped
+    # to the 1e-10 clamp branch instead so downstream stays finite
+    safe_acc = jnp.where(acc_map > 0, acc_map, 1.0)
+    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / safe_acc)
 
     if white_bkgd:
         rest = 1.0 - acc_map

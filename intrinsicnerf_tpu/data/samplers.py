@@ -191,17 +191,3 @@ def sample_ray_pairs_all_images(
         sem_flag=jnp.float32(1.0),
         image_idx=imgs[0],
     )
-
-
-def epoch_permutation_batch(
-    rays_flat: jnp.ndarray,  # [num_img*H*W, 11]
-    rgb_flat: jnp.ndarray,
-    perm: jnp.ndarray,  # [num_img*H*W] epoch permutation (host-refreshed)
-    cursor: jnp.ndarray,  # [] int offset
-    n_rays: int,
-):
-    """The reference's all-pixel epoch-shuffled alternative path
-    (``trainer.py:664-680``): take the next ``n_rays`` indices of a
-    precomputed permutation."""
-    idx = jax.lax.dynamic_slice_in_dim(perm, cursor, n_rays)
-    return jnp.take(rays_flat, idx, axis=0), jnp.take(rgb_flat, idx, axis=0)

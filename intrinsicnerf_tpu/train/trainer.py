@@ -45,7 +45,7 @@ from intrinsicnerf_tpu.core.metrics import (
 )
 from intrinsicnerf_tpu.models.mlp import MLPConfig
 from intrinsicnerf_tpu.render.pipeline import render_rays_chunked
-from intrinsicnerf_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from intrinsicnerf_tpu.train.checkpoint import Checkpointer
 from intrinsicnerf_tpu.train.logging_utils import TBLogger
 from intrinsicnerf_tpu.train.schedules import cluster_anneal, make_lr_schedule
 from intrinsicnerf_tpu.train.step import (
@@ -206,6 +206,14 @@ class Trainer:
             )
         )
         self.global_step = 0
+        self._ckpt: Optional[Checkpointer] = None
+
+    def _checkpointer(self) -> Checkpointer:
+        if self._ckpt is None:
+            self._ckpt = Checkpointer(
+                os.path.join(self.save_dir, "checkpoints")
+            )
+        return self._ckpt
 
     # ------------------------------------------------------------- misc
 
@@ -216,10 +224,33 @@ class Trainer:
             chunk -= 1
         return chunk
 
+    def close(self):
+        """Join in-flight async checkpoint writes, shut down the
+        off-thread IO pool and the logger.  Idempotent; called via the
+        context-manager protocol or directly by the CLIs."""
+        if self._ckpt is not None:
+            self._ckpt.close()
+            self._ckpt = None
+        self.flush_io()
+        self._io_pool.shutdown(wait=True)
+        self.logger.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
     def maybe_resume(self) -> int:
-        ckpt_dir = os.path.join(self.save_dir, "checkpoints")
-        restored = restore_checkpoint(ckpt_dir, self.state)
+        if not os.path.isdir(os.path.join(self.save_dir, "checkpoints")):
+            return self.global_step
+        restored = self._checkpointer().restore(self.state)
         if restored is not None:
+            if self.mesh is not None:
+                from intrinsicnerf_tpu.parallel.mesh import replicate
+
+                restored = replicate(self.mesh, restored)
             self.state = restored
             self.global_step = int(restored.step)
             print(f"resumed from step {self.global_step}")
@@ -250,9 +281,8 @@ class Trainer:
                 self._log_scalars(i + 1, report, time.time() - t0)
                 t0 = time.time()
             if (i + 1) % log.step_save_ckpt == 0:
-                save_checkpoint(
-                    os.path.join(self.save_dir, "checkpoints"), self.state, i + 1
-                )
+                # async: the chip keeps stepping while orbax serializes
+                self._checkpointer().save(self.state, i + 1)
             if (i + 1) % log.step_vis_train == 0 and not self.cfg.train.no_cluster:
                 self.rebuild_clusters(i + 1)
             if (i + 1) % log.step_val == 0:
@@ -268,6 +298,9 @@ class Trainer:
     # ------------------------------------------------------- full renders
 
     def _save_async(self, path: str, arr: np.ndarray):
+        """Queue an image write on the IO pool.  Writes (and their
+        errors) only land at the next ``flush_io()`` — callers that read
+        the files back (video generation, tests) must flush first."""
         self._io_futures.append(self._io_pool.submit(_save_img, path, arr))
 
     def flush_io(self):

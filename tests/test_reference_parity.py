@@ -24,42 +24,65 @@ torch = pytest.importorskip("torch")
 if not os.path.isdir(os.path.join(REF, "SSR")):
     pytest.skip("reference checkout not available", allow_module_level=True)
 
-sys.path.insert(0, REF)
-
-# the reference package __init__ pulls in GUI/mesh deps we don't need
-# for the math oracle; stub them so the model modules import cleanly.
-# All patches are reverted in the module teardown below so they cannot
-# leak into other test modules in the same pytest session.
 import types  # noqa: E402
-
-_stubbed_mods = []
-for _mod in ("open3d", "trimesh", "imgviz", "cv2"):
-    if _mod not in sys.modules:
-        try:
-            __import__(_mod)
-        except ImportError:
-            stub = types.ModuleType(_mod)
-            stub.__getattr__ = lambda name: (lambda *a, **k: None)
-            sys.modules[_mod] = stub
-            _stubbed_mods.append(_mod)
-
-# the reference hard-codes .cuda() inside raw2outputs; run it on CPU
-_orig_cuda = torch.Tensor.cuda
-torch.Tensor.cuda = lambda self, *a, **k: self
-
-
-def teardown_module(_module=None):
-    torch.Tensor.cuda = _orig_cuda
-    for _mod in _stubbed_mods:
-        sys.modules.pop(_mod, None)
-    if REF in sys.path:
-        sys.path.remove(REF)
-
-from SSR.models.semantic_nerf import Semantic_NeRF, get_embedder  # noqa: E402
-from SSR.models import model_utils as ref_model_utils  # noqa: E402
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+# Filled in by the _ref_env fixture; module-level so the helpers below
+# can reference them without threading through every signature.
+Semantic_NeRF = None
+get_embedder = None
+ref_model_utils = None
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ref_env():
+    """Scope the global patches to THIS module's tests only: the
+    reference path on sys.path, dependency stubs, and the
+    ``torch.Tensor.cuda`` no-op (the reference hard-codes ``.cuda()``
+    inside ``raw2outputs``; we run it on CPU).  Applying these at import
+    (collection) time would leak them into every other test module in
+    the session."""
+    sys.path.insert(0, REF)
+    # the reference package __init__ pulls in GUI/mesh deps we don't
+    # need for the math oracle; stub them so the models import cleanly
+    stubbed = []
+    for mod in ("open3d", "trimesh", "imgviz", "cv2"):
+        if mod not in sys.modules:
+            try:
+                __import__(mod)
+            except ImportError:
+                stub = types.ModuleType(mod)
+                stub.__getattr__ = lambda name: (lambda *a, **k: None)
+                sys.modules[mod] = stub
+                stubbed.append(mod)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
+    global Semantic_NeRF, get_embedder, ref_model_utils
+    from SSR.models import model_utils as _mu
+    from SSR.models.semantic_nerf import (
+        Semantic_NeRF as _SN,
+        get_embedder as _ge,
+    )
+
+    Semantic_NeRF, get_embedder, ref_model_utils = _SN, _ge, _mu
+    try:
+        yield
+    finally:
+        torch.Tensor.cuda = orig_cuda
+        # importing semantic_nerf globally enables autograd anomaly mode
+        # (reference semantic_nerf.py:2); switch it back off
+        torch.autograd.set_detect_anomaly(False)
+        for mod in stubbed:
+            sys.modules.pop(mod, None)
+        # drop the reference's packages so later imports can't resolve
+        # against the untrusted checkout once the path is removed
+        for mod in [m for m in sys.modules if m == "SSR" or m.startswith("SSR.")]:
+            sys.modules.pop(mod, None)
+        if REF in sys.path:
+            sys.path.remove(REF)
 
 from intrinsicnerf_tpu.core.compositing import composite  # noqa: E402
 from intrinsicnerf_tpu.models.mlp import (  # noqa: E402
@@ -100,7 +123,7 @@ def _copy_params_to_torch(params, model):
 
 
 @pytest.fixture(scope="module")
-def setup():
+def setup(_ref_env):
     cfg = MLPConfig(
         pos_scalar_factor=10.0,
         enable_semantic=True,
@@ -166,7 +189,6 @@ def test_forward_render_allclose(setup):
 
     for name, ref_v, got in [
         ("rgb", rgb, maps.rgb),
-        ("disp", disp, maps.disp),
         ("acc", acc, maps.acc),
         ("weights", weights, maps.weights),
         ("depth", depth, maps.depth),
@@ -179,6 +201,20 @@ def test_forward_render_allclose(setup):
             np.asarray(got), ref_v.numpy(), atol=2e-5, rtol=2e-4,
             err_msg=f"map {name} diverges from the PyTorch reference",
         )
+
+    # disp: exact parity wherever the reference is defined; on acc == 0
+    # rays the reference computes 0/0 -> NaN (model_utils.py:104) while
+    # we intentionally route through the 1e-10 clamp so downstream
+    # stays finite (compositing.py).  Pin both behaviors.
+    ref_disp = disp.numpy()
+    got_disp = np.asarray(maps.disp)
+    finite = np.isfinite(ref_disp)
+    assert not finite.all(), "setup no longer produces empty rays"
+    np.testing.assert_allclose(
+        got_disp[finite], ref_disp[finite], atol=2e-5, rtol=2e-4,
+        err_msg="map disp diverges from the PyTorch reference",
+    )
+    np.testing.assert_allclose(got_disp[~finite], 1e10)
 
 
 def test_pixel_gradient_allclose(setup):

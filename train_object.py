@@ -96,23 +96,23 @@ def main():
 
     bundle, _ = prepare_blender_bundle(cfg, data, ndc_focal=ndc_focal)
     sample_fn = make_object_sample_fn(cfg, bundle, ndc_focal=ndc_focal)
-    trainer = Trainer(cfg, bundle, sample_fn=sample_fn)
-    trainer.maybe_resume()
+    with Trainer(cfg, bundle, sample_fn=sample_fn) as trainer:
+        trainer.maybe_resume()
 
-    if args.render_only:
-        save_dir = os.path.join(
-            cfg.experiment.save_dir,
-            f"renderonly_{'test' if args.render_test else 'path'}_{trainer.global_step:06d}",
-        )
-        os.makedirs(save_dir, exist_ok=True)
-        rays = bundle.rays_test if args.render_test else bundle.rays_vis
-        for i, view in enumerate(trainer.render_views(rays)):
-            trainer._save_view(save_dir, i, view)
-        trainer.flush_io()
-        print(f"renders written to {save_dir}")
-        return
+        if args.render_only:
+            save_dir = os.path.join(
+                cfg.experiment.save_dir,
+                f"renderonly_{'test' if args.render_test else 'path'}_{trainer.global_step:06d}",
+            )
+            os.makedirs(save_dir, exist_ok=True)
+            rays = bundle.rays_test if args.render_test else bundle.rays_vis
+            for i, view in enumerate(trainer.render_views(rays)):
+                trainer._save_view(save_dir, i, view)
+            trainer.flush_io()
+            print(f"renders written to {save_dir}")
+            return
 
-    trainer.fit(n_iters=args.n_iters, progress=not args.no_progress)
+        trainer.fit(n_iters=args.n_iters, progress=not args.no_progress)
     print("training complete")
 
 

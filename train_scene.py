@@ -156,9 +156,9 @@ def main():
 
         print("batching mode: sampling pixels across all training images")
 
-    trainer = Trainer(cfg, bundle, mesh=mesh, sample_fn=sample_fn)
-    trainer.maybe_resume()
-    trainer.fit(n_iters=args.n_iters, progress=not args.no_progress)
+    with Trainer(cfg, bundle, mesh=mesh, sample_fn=sample_fn) as trainer:
+        trainer.maybe_resume()
+        trainer.fit(n_iters=args.n_iters, progress=not args.no_progress)
     print("training complete")
 
 
