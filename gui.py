@@ -4,8 +4,10 @@ Behavioral parity target: ``/root/reference/gui.py`` (and its
 ``gui_obj.py`` twin): Tkinter app that loads a render directory's
 intrinsic decompositions plus a saved cluster palette, lets the user
 click a pixel to select its (semantic class, albedo cluster), edit that
-cluster's color with RGB sliders, scale shading/residual globally with
-a gamma toggle, and save edited frames / record a video.
+cluster's color with RGB sliders or the HLS hue/saturation picker +
+lightness slider (``gui.py:333-394``), toggle the nonlinear
+shading/residual transfer curves (``gui.py:490-513``), scale
+shading/residual globally, and save edited frames / record a video.
 
 All editing logic lives in ``intrinsicnerf_tpu.tools.editing`` (tested
 headless); this file is the Tk view.
@@ -74,6 +76,7 @@ def main():
             if color is not None:
                 for s, v in zip(sliders, color):
                     s.set(int(v * 255))
+                sync_hls_from_rgb(color)
 
     canvas.bind("<Button-1>", on_click)
 
@@ -97,6 +100,78 @@ def main():
                      command=on_rgb, length=200)
         s.grid(row=1 + i, column=1)
         sliders.append(s)
+
+    # ---- HLS picker: hue on x, saturation on y (top = 1), lightness on
+    # a slider; reference draw_color_label/pick_color (gui.py:333-394)
+    import colorsys
+
+    HLS_W, HLS_H = 180, 120
+    hue = np.linspace(0.0, 1.0, HLS_W)
+    sat = np.linspace(1.0, 0.0, HLS_H)
+    strip = np.empty((HLS_H, HLS_W, 3), np.uint8)
+    for yy in range(HLS_H):
+        for xx in range(HLS_W):
+            r, g, b = colorsys.hls_to_rgb(hue[xx], 0.5, sat[yy])
+            strip[yy, xx] = (int(r * 255), int(g * 255), int(b * 255))
+    hls_state = {"h": 0.0, "l": 0.5, "s": 1.0}
+    hls_canvas = tk.Canvas(root, width=HLS_W, height=HLS_H)
+    hls_canvas.grid(row=1, column=2, rowspan=3, padx=6)
+    hls_photo = [ImageTk.PhotoImage(Image.fromarray(strip))]
+    hls_canvas.create_image(0, 0, image=hls_photo[0], anchor="nw")
+    marker = hls_canvas.create_text(0, 0, text="X", fill="white",
+                                    state="hidden")
+
+    def apply_hls():
+        if state["selected"] is None:
+            return
+        r, g, b = colorsys.hls_to_rgb(
+            hls_state["h"], hls_state["l"], hls_state["s"]
+        )
+        for s, v in zip(sliders, (r, g, b)):
+            s.set(int(v * 255))
+        on_rgb()
+
+    def on_hls_click(event):
+        xx = min(max(event.x, 0), HLS_W - 1)
+        yy = min(max(event.y, 0), HLS_H - 1)
+        hls_state["h"] = xx / HLS_W
+        hls_state["s"] = (HLS_H - yy) / HLS_H
+        hls_canvas.coords(marker, xx, yy)
+        hls_canvas.itemconfigure(marker, state="normal")
+        apply_hls()
+
+    hls_canvas.bind("<Button-1>", on_hls_click)
+
+    def on_lightness(v):
+        hls_state["l"] = float(v) / 255.0
+        apply_hls()
+
+    l_slider = tk.Scale(root, from_=0, to=255, orient="horizontal",
+                        label="lightness", command=on_lightness, length=180)
+    l_slider.grid(row=4, column=2, padx=6)
+
+    def sync_hls_from_rgb(color):
+        hh, ll, ss = colorsys.rgb_to_hls(*[float(c) for c in color])
+        hls_state.update(h=hh, l=ll, s=ss)
+        hls_canvas.coords(
+            marker, int(hh * HLS_W), HLS_H - int(ss * HLS_H)
+        )
+        hls_canvas.itemconfigure(marker, state="normal")
+        l_slider.set(int(ll * 255))
+
+    # ---- nonlinear transfer toggles (reference f_shading/f_residual)
+    def toggle_shading_transfer():
+        session.shading_transfer = not session.shading_transfer
+        refresh()
+
+    def toggle_residual_transfer():
+        session.residual_transfer = not session.residual_transfer
+        refresh()
+
+    tk.Checkbutton(root, text="shading s^2 transfer",
+                   command=toggle_shading_transfer).grid(row=5, column=2)
+    tk.Checkbutton(root, text="residual sine transfer",
+                   command=toggle_residual_transfer).grid(row=6, column=2)
 
     def on_shading(v):
         session.shading_scale = float(v)

@@ -122,8 +122,19 @@ def build_cluster(
     band_factor: float = 0.5,
     intensity_factor: float = 0.5,
 ) -> Cluster:
-    """Cluster one class's albedo pixels; returns anchors/links/centers."""
+    """Cluster one class's albedo pixels; returns anchors/links/centers.
+
+    Pixels whose d_rgb is non-finite are dropped: an all-zero albedo
+    (empty ray, acc == 0) maps to 0/0 in the chroma division — the same
+    hazard as the reference's ``mapping_color`` — and a single NaN
+    anchor would poison ``dest_color`` targets and with them the whole
+    training run."""
     d = map_drgb_np(np.asarray(pixels_rgb, np.float64), intensity_factor)
+    finite = np.isfinite(d).all(axis=1)
+    if not finite.all():
+        d = d[finite]
+    if len(d) == 0:  # every pixel empty: one black pseudo-cluster
+        d = np.zeros((1, 3), np.float64)
     bw = estimate_bandwidth(d, quantile=quantile, n_samples=n_samples)
     bw = max(bw * band_factor, 0.01)
     centers_d, labels = mean_shift(d, bw, bin_seeding=True)

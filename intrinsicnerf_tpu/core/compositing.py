@@ -53,6 +53,10 @@ class RenderMaps(NamedTuple):
     residual: jnp.ndarray  # [..., 3]
     sem_logits: Optional[jnp.ndarray] = None  # [..., C]
     endpoint_feat: Optional[jnp.ndarray] = None  # [..., F]
+    sigma: Optional[jnp.ndarray] = None  # [..., S] raw pre-noise density
+    # (the reference's raw[..., 3], logged as TB histograms
+    # trans_coarse/trans_fine at trainer.py:1023-1028; XLA dead-code
+    # eliminates it from consumers that don't read it)
 
 
 def exclusive_transmittance(alpha: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
@@ -130,4 +134,5 @@ def composite(
         residual=residual_map,
         sem_logits=sem_map,
         endpoint_feat=feat_map,
+        sigma=raw.sigma,
     )

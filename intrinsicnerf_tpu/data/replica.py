@@ -42,6 +42,7 @@ class ReplicaDataset:
     semantic_classes: np.ndarray  # original ids present, incl. void 0
     num_semantic_class: int  # len(semantic_classes), incl. void
     mask_ids: np.ndarray  # [train_num] 1 = semantic loss active
+    class_names: Optional[List[str]] = None  # ["void", ...] by original id
     train_num: int = field(init=False)
     test_num: int = field(init=False)
 
@@ -144,4 +145,26 @@ def load_replica(
         semantic_classes=semantic_classes,
         num_semantic_class=len(semantic_classes),
         mask_ids=np.ones(len(train_ids), np.int64),
+        class_names=_load_class_names(data_dir),
     )
+
+
+def _load_class_names(data_dir: str) -> Optional[List[str]]:
+    """Replica class-name table from ``info_semantic.json`` (searched in
+    the sequence dir and its parents, where the official release puts
+    it); names are indexed by original class id with void prepended
+    (reference ``trainer.py:170-183``)."""
+    import json
+
+    for cand_dir in (data_dir, os.path.dirname(data_dir),
+                     os.path.dirname(os.path.dirname(data_dir))):
+        path = os.path.join(cand_dir, "info_semantic.json")
+        if os.path.isfile(path):
+            try:
+                with open(path) as f:
+                    info = json.load(f)
+                return ["void"] + [c["name"] for c in info["classes"]]
+            except (KeyError, TypeError, ValueError) as e:
+                print(f"[replica] unreadable {path}: {e}")
+                return None
+    return None

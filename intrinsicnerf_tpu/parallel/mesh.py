@@ -33,18 +33,48 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, sharding)
 
 
-def shard_pools(mesh: Mesh, tree, axis: str = "data"):
-    """Shard a pytree of ``[num_images, ...]`` pools over the mesh's
-    image axis (leading dim must divide by the axis size)."""
-    sharding = NamedSharding(mesh, P(axis))
-    return jax.device_put(tree, sharding)
+def _replicated_leaves(pools) -> frozenset:
+    """Field names of pool leaves that must replicate instead of shard
+    over the image axis (PosePools.dirs_cam is shared by every image)."""
+    from intrinsicnerf_tpu.train.step import PosePools
+
+    return frozenset(("dirs_cam",)) if isinstance(pools, PosePools) else frozenset()
+
+
+def pool_specs(pools, axis: str = "data"):
+    """Per-leaf PartitionSpec for a DataPools *or* PosePools pytree:
+    image-axis leaves shard, shared leaves replicate, None leaves drop."""
+    rep = _replicated_leaves(pools)
+    fields = type(pools)._fields
+    return type(pools)(
+        **{
+            f: None
+            if getattr(pools, f) is None
+            else (P() if f in rep else P(axis))
+            for f in fields
+        }
+    )
+
+
+def shard_pools(mesh: Mesh, pools, axis: str = "data"):
+    """Place pools on the mesh: ``[num_images, ...]`` leaves shard over
+    the image axis (leading dim must divide the axis size), shared
+    leaves (PosePools.dirs_cam) replicate."""
+    specs = pool_specs(pools, axis)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), pools, specs
+    )
 
 
 def pad_images_to_multiple(pools_np, n: int):
     """Host-side: repeat trailing images so the image count divides the
     mesh axis size (keeps shapes static; duplicates only change the
-    sampling distribution negligibly)."""
+    sampling distribution negligibly).  Shared (replicated) leaves are
+    left untouched."""
     import numpy as np
+
+    rep = _replicated_leaves(pools_np)
+    fields = type(pools_np)._fields
 
     def pad(x):
         if x is None:
@@ -52,6 +82,14 @@ def pad_images_to_multiple(pools_np, n: int):
         r = (-x.shape[0]) % n
         if r == 0:
             return x
-        return np.concatenate([x, x[:r]], axis=0)
+        reps = [x] + [x[: min(r, x.shape[0])]]
+        while sum(a.shape[0] for a in reps) < x.shape[0] + r:
+            reps.append(x[: x.shape[0] + r - sum(a.shape[0] for a in reps)])
+        return np.concatenate(reps, axis=0)
 
-    return jax.tree_util.tree_map(pad, pools_np)
+    return type(pools_np)(
+        **{
+            f: getattr(pools_np, f) if f in rep else pad(getattr(pools_np, f))
+            for f in fields
+        }
+    )

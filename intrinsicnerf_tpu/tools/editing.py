@@ -45,7 +45,11 @@ class EditSession:
         ]
         self.shading_scale = 1.0
         self.residual_scale = 1.0
-        self.shading_gamma = 1.0  # nonlinear transfer toggle (1 = linear)
+        self.shading_gamma = 1.0  # power transfer (1 = linear)
+        # reference nonlinear transfer toggles (gui.py:490-503):
+        # t_shading(s) = s^2; t_residual(r) = (sin(r*pi - pi/2) + 1) / 2
+        self.shading_transfer = False
+        self.residual_transfer = False
         self.frames: Dict[int, dict] = {}
 
     # ----------------------------------------------------------- frames
@@ -133,12 +137,28 @@ class EditSession:
             out[sel] = pal[np.clip(cluster[sel], 0, len(pal) - 1)]
         return out
 
+    def t_shading(self, s: np.ndarray) -> np.ndarray:
+        """Reference ``t_shading`` (gui.py:490-495): squared transfer
+        when toggled, composed with the power-gamma control."""
+        if self.shading_transfer:
+            s = s**2
+        if self.shading_gamma != 1.0:
+            s = s**self.shading_gamma
+        return s
+
+    def t_residual(self, r: np.ndarray) -> np.ndarray:
+        """Reference ``t_residual`` (gui.py:497-501): sine S-curve."""
+        if self.residual_transfer:
+            r = (np.sin(r * np.pi - np.pi / 2.0) + 1.0) / 2.0
+        return r
+
     def compose(self, idx: int, use_clusters: bool = True) -> np.ndarray:
-        """``edit = albedo' * t(shading)*s + residual*r`` in [0,1]."""
+        """``edit = albedo' * t(shading)*s + t(residual)*r`` in [0,1]
+        (reference update_img, gui.py:163)."""
         frame = self.load_frame(idx)
         albedo = self.cluster_albedo(idx) if use_clusters else frame["albedo"]
-        shading = frame["shading"] ** self.shading_gamma * self.shading_scale
-        residual = frame["residual"] * self.residual_scale
+        shading = self.t_shading(frame["shading"]) * self.shading_scale
+        residual = self.t_residual(frame["residual"]) * self.residual_scale
         return np.clip(albedo * shading[..., None] + residual, 0.0, 1.0)
 
     def save_edit(self, idx: int, path: str):

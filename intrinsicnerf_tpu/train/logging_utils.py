@@ -41,8 +41,17 @@ class TBLogger:
         self._csv_file.flush()
 
     def histogram(self, step: int, name: str, values):
-        if self.writer is not None:
-            self.writer.add_histogram(name, np.asarray(values), step)
+        if self.writer is None:
+            return
+        values = np.asarray(values).reshape(-1)
+        finite = np.isfinite(values)
+        if not finite.all():
+            # torch's histogram encoder raises on all-NaN input; a
+            # diverged run should still log (the NaN alarm reports it)
+            values = values[finite]
+            if values.size == 0:
+                return
+        self.writer.add_histogram(name, values, step)
 
     def image(self, step: int, name: str, img, dataformats="HWC"):
         if self.writer is not None:

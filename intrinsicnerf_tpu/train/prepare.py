@@ -95,15 +95,43 @@ def prepare_replica_bundle(cfg: FrameworkConfig, data) -> SceneBundle:
         test_gt["semantic"] = (
             _resize_stack(eval_sem, hs, ws, nearest=True).astype(np.int64) - 1
         )
+    # train-set GT at viz scale: the cluster-rebuild render logs batch
+    # PSNR / depth metrics / mIoU against these (trainer.py:1083-1118)
     train_gt = {"image": _resize_stack(train["image"], hs, ws)}
+    if cfg.experiment.enable_depth:
+        train_gt["depth"] = _resize_stack(train["depth"], hs, ws)
+    if cfg.experiment.enable_semantic:
+        train_sem = train.get("semantic_remap_clean", train["semantic_remap"])
+        train_gt["semantic"] = (
+            _resize_stack(train_sem, hs, ws, nearest=True).astype(np.int64) - 1
+        )
 
     num_valid = (
         data.num_semantic_class - 1 if cfg.experiment.enable_semantic else 0
     )
-    cmap = None
+    cmap, names, class_ids = None, getattr(data, "class_names", None), None
     if cfg.experiment.enable_semantic:
-        classes = getattr(data, "semantic_classes", np.arange(num_valid + 1))
-        cmap = label_colormap(int(np.max(classes)) + 2)[np.asarray(classes)]
+        class_ids = getattr(data, "semantic_classes", None)
+        nyu_mode = getattr(data, "nyu_mode", None)
+        if nyu_mode in ("nyu13", "nyu34"):
+            # dedicated NYU palettes + names (trainer.py:302-323)
+            from intrinsicnerf_tpu.utils.image import (
+                nyu13_class_names,
+                nyu13_colour_code,
+                nyu34_class_names,
+                nyu34_colour_code,
+            )
+
+            if nyu_mode == "nyu13":
+                cmap = (np.asarray(nyu13_colour_code) * 255).astype(np.uint8)
+                names = nyu13_class_names
+            else:
+                cmap = nyu34_colour_code
+                names = nyu34_class_names
+            class_ids = np.arange(len(names))
+        else:
+            classes = getattr(data, "semantic_classes", np.arange(num_valid + 1))
+            cmap = label_colormap(int(np.max(classes)) + 2)[np.asarray(classes)]
 
     return SceneBundle(
         pools=pools,
@@ -117,6 +145,10 @@ def prepare_replica_bundle(cfg: FrameworkConfig, data) -> SceneBundle:
         test_gt=test_gt,
         train_gt=train_gt,
         colour_map=cmap,
+        class_names=names,
+        semantic_class_ids=(
+            np.asarray(class_ids) if class_ids is not None else None
+        ),
     )
 
 

@@ -58,10 +58,52 @@ nyu13_colour_code = np.array(
     ]
 )
 
-# NYUv2 40-class color code (reference image_utils.py:230+)
-nyu40_colour_code = (
-    np.concatenate([np.zeros((1, 3), np.uint8), label_colormap(64)[1:41]])
-).astype(np.uint8)
+nyu13_class_names = [
+    "void",
+    "bed", "books", "ceiling", "chair", "floor",
+    "furniture", "objects", "painting/picture", "sofa", "table",
+    "TV", "wall", "window",
+]
+
+# NYUv2 40-class palette (standard ScanNet/NYU colors; reference
+# image_utils.py:229-277); index 0 = void
+nyu40_colour_code = np.array(
+    [
+        (0, 0, 0),
+        (174, 199, 232), (152, 223, 138), (31, 119, 180), (255, 187, 120),
+        (188, 189, 34), (140, 86, 75), (255, 152, 150), (214, 39, 40),
+        (197, 176, 213), (148, 103, 189), (196, 156, 148), (23, 190, 207),
+        (178, 76, 76), (247, 182, 210), (66, 188, 102), (219, 219, 141),
+        (140, 57, 197), (202, 185, 52), (51, 176, 203), (200, 54, 131),
+        (92, 193, 61), (78, 71, 183), (172, 114, 82), (255, 127, 14),
+        (91, 163, 138), (153, 98, 156), (140, 153, 101), (158, 218, 229),
+        (100, 125, 154), (178, 127, 135), (120, 185, 128), (146, 111, 194),
+        (44, 160, 44), (112, 128, 144), (96, 207, 209), (227, 119, 194),
+        (213, 92, 176), (94, 106, 211), (82, 84, 163), (100, 85, 144),
+    ],
+    dtype=np.uint8,
+)
+
+# NYUv2 34-class palette: the 40-class palette minus the six classes the
+# CNN-label experiments drop (bookshelf, dresser, mirror, shower curtain,
+# white board, person — reference image_utils.py:175-221)
+_NYU34_DROPPED_NYU40_IDS = (10, 17, 19, 28, 30, 31)
+nyu34_colour_code = np.asarray(
+    [nyu40_colour_code[i] for i in range(41) if i not in _NYU34_DROPPED_NYU40_IDS],
+    dtype=np.uint8,
+)
+
+nyu34_class_names = [
+    "void",
+    "wall", "floor", "cabinet", "bed", "chair",
+    "sofa", "table", "door", "window",
+    "picture", "counter", "blinds", "desk", "shelves",
+    "curtain", "pillow", "floor",
+    "clothes", "ceiling", "books", "fridge", "tv",
+    "paper", "towel", "box",
+    "night stand", "toilet", "sink", "lamp",
+    "bath tub", "bag", "other struct", "other furntr", "other prop",
+]
 
 
 def depth2rgb(

@@ -99,6 +99,124 @@ def test_sharded_matches_single_device_gradient_scale(mesh):
     assert 0.2 < d_shard / d_single < 5.0
 
 
+def test_sharded_render_matches_single_device(mesh):
+    """Full-image render sharded over the ray axis: bit-identical to the
+    single-device chunked render, output split across all devices, and
+    non-divisible ray counts handled by padding."""
+    from intrinsicnerf_tpu.core.rays import create_rays
+    from intrinsicnerf_tpu.models.mlp import init_mlp_params
+    from intrinsicnerf_tpu.parallel.sharded_render import make_sharded_render
+    from intrinsicnerf_tpu.render.pipeline import render_rays_chunked
+
+    mcfg = MLPConfig(depth=3, width=32, skips=(1,), n_freqs_pos=4,
+                     n_freqs_dir=2, enable_semantic=True,
+                     num_semantic_classes=4)
+    rcfg = RenderConfig(n_coarse=8, n_importance=8)
+    kc, kf = jax.random.split(jax.random.key(3))
+    pc, pf = init_mlp_params(kc, mcfg), init_mlp_params(kf, mcfg)
+
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = -3.0
+    # 12x15 = 180 rays: NOT divisible by 8 -> exercises the pad path
+    rays = create_rays(jnp.asarray(c2w), 12, 15, 6.0, 6.0, 7.0, 5.5,
+                       0.1, 10.0)[0]
+    assert rays.shape[0] % 8 != 0
+
+    render = make_sharded_render(mcfg, rcfg, mesh, rays.shape[0], chunk=64)
+    got = render(pc, pf, rays)
+    want = render_rays_chunked(pc, pf, mcfg, rays, rcfg, chunk=36)
+
+    for name in ("rgb", "depth", "acc", "albedo", "shading", "residual"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got.fine, name)),
+            np.asarray(getattr(want.fine, name)),
+            atol=1e-5, rtol=1e-5, err_msg=name,
+        )
+    # per-device work: pre-slice output is split across all 8 devices
+    pad = (-rays.shape[0]) % 8
+    raw = render(pc, pf, rays)  # sliced output still spans the devices
+    devs = {s.device for s in got.fine.rgb.addressable_shards}
+    assert len(devs) == 8, f"render only touched {len(devs)} devices"
+    assert raw.fine.rgb.shape[0] == rays.shape[0]
+    assert pad > 0
+
+
+def _tiny_pose_pools(n_img=8, h=8, w=8):
+    from intrinsicnerf_tpu.core.rays import camera_ray_dirs
+    from intrinsicnerf_tpu.train.step import PosePools
+
+    rng = np.random.default_rng(5)
+    poses = np.tile(np.eye(4, dtype=np.float32), (n_img, 1, 1))
+    poses[:, 2, 3] = -3.0 - 0.1 * np.arange(n_img)
+    dirs = camera_ray_dirs(h, w, 4.0, 4.0, w / 2, h / 2,
+                           convention="opengl").reshape(-1, 3)
+    return PosePools(
+        dirs_cam=dirs,
+        poses=jnp.asarray(poses),
+        rgb=jnp.asarray(rng.uniform(size=(n_img, h * w, 3)).astype(np.float32)),
+        mask=jnp.asarray(
+            (rng.uniform(size=(n_img, h * w)) > 0.3).astype(np.float32)
+        ),
+    )
+
+
+def test_object_pipeline_sharded_step(mesh):
+    """Object (PosePools + pose sampler) data parallelism: dirs_cam
+    replicates, per-image leaves shard, the step runs and learns."""
+    from intrinsicnerf_tpu.data.samplers import sample_ray_pairs_from_poses
+
+    h = w = 8
+    mcfg = MLPConfig(depth=3, width=32, skips=(1,), n_freqs_pos=4,
+                     n_freqs_dir=2)
+    rcfg = RenderConfig(n_coarse=8, n_importance=8, white_bkgd=True)
+    tcfg = TrainConfig(n_rays=8, mask_mode="mask")
+    opt = optax.adam(5e-4)
+
+    pools_host = _tiny_pose_pools(n_img=8, h=h, w=w)
+    pools = shard_pools(mesh, pools_host)
+    assert pools.dirs_cam.sharding.is_fully_replicated
+    assert not pools.rgb.sharding.is_fully_replicated
+
+    def sample_fn(key, p, step):
+        return sample_ray_pairs_from_poses(
+            key, p.dirs_cam, p.poses, p.rgb, h, w, tcfg.n_rays,
+            0.1, 10.0, mask_pool=p.mask,
+        )
+
+    state = replicate(
+        mesh, create_train_state(jax.random.key(0), mcfg, tcfg, opt)
+    )
+    table = replicate(mesh, empty_cluster_table(1, 16))
+    step = make_sharded_train_step_for(
+        mcfg, rcfg, tcfg, opt, h, w, mesh, pools, sample_fn=sample_fn
+    )
+    losses = []
+    for i in range(8):
+        state, report = step(
+            state, pools, table, jnp.float32(0.0), jax.random.key(i)
+        )
+        losses.append(float(report.total))
+    assert int(state.step) == 8
+    assert all(np.isfinite(losses))
+    assert state.params_coarse["trunk"][0]["kernel"].sharding.is_fully_replicated
+
+
+def test_pose_pool_padding_keeps_dirs(mesh):
+    """pad_images_to_multiple pads per-image leaves but never the shared
+    dirs_cam leaf (it has no image axis)."""
+    from intrinsicnerf_tpu.parallel.mesh import pad_images_to_multiple
+
+    pools = _tiny_pose_pools(n_img=5, h=8, w=8)
+    pools_np = jax.tree_util.tree_map(np.asarray, pools)
+    padded = pad_images_to_multiple(pools_np, 8)
+    assert padded.poses.shape[0] == 8
+    assert padded.rgb.shape[0] == 8
+    assert padded.mask.shape[0] == 8
+    assert padded.dirs_cam.shape == pools_np.dirs_cam.shape
+    # wrap-around duplicates, not zeros
+    np.testing.assert_array_equal(padded.rgb[5], pools_np.rgb[0])
+
+
 def test_trainer_with_mesh(mesh, tmp_path):
     """Mesh-aware Trainer: sharded pools, replicated params, fit runs."""
     import dataclasses as dc

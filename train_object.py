@@ -31,6 +31,17 @@ def main():
         help="enable jax_debug_nans (the reference's autograd "
         "anomaly-mode analog, semantic_nerf.py:2)",
     )
+    parser.add_argument(
+        "--profile", type=int, default=0, metavar="N",
+        help="trace N training steps with jax.profiler (written to "
+        "<save_dir>/profile, viewable in TensorBoard/Perfetto)",
+    )
+    parser.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard image pools over all devices (per-device ray batches, "
+        "grad pmean); global batch = N_rand * n_devices; full-image "
+        "renders shard their ray axis over the same mesh",
+    )
     args = parser.parse_args()
 
     if args.debug_nans:
@@ -96,7 +107,18 @@ def main():
 
     bundle, _ = prepare_blender_bundle(cfg, data, ndc_focal=ndc_focal)
     sample_fn = make_object_sample_fn(cfg, bundle, ndc_focal=ndc_focal)
-    with Trainer(cfg, bundle, sample_fn=sample_fn) as trainer:
+
+    mesh = None
+    if args.data_parallel:
+        from intrinsicnerf_tpu.parallel.distributed import initialize_distributed
+        from intrinsicnerf_tpu.parallel.mesh import make_mesh
+
+        initialize_distributed()
+        mesh = make_mesh()
+        print(f"data-parallel over {mesh.devices.size} devices")
+
+    with Trainer(cfg, bundle, sample_fn=sample_fn, mesh=mesh) as trainer:
+        trainer.profile_steps = args.profile
         trainer.maybe_resume()
 
         if args.render_only:

@@ -112,6 +112,11 @@ def main():
         help="enable jax_debug_nans (the reference's autograd "
         "anomaly-mode analog, semantic_nerf.py:2)",
     )
+    parser.add_argument(
+        "--profile", type=int, default=0, metavar="N",
+        help="trace N training steps with jax.profiler (written to "
+        "<save_dir>/profile, viewable in TensorBoard/Perfetto)",
+    )
     args = parser.parse_args()
 
     if args.debug_nans:
@@ -144,7 +149,7 @@ def main():
         print(f"data-parallel over {mesh.devices.size} devices")
 
     sample_fn = None
-    if not cfg.raw.get("render", {}).get("no_batching", True) and mesh is None:
+    if not cfg.raw.get("render", {}).get("no_batching", True):
         from intrinsicnerf_tpu.data.samplers import sample_ray_pairs_all_images
 
         def sample_fn(key, pools, step):
@@ -157,6 +162,7 @@ def main():
         print("batching mode: sampling pixels across all training images")
 
     with Trainer(cfg, bundle, mesh=mesh, sample_fn=sample_fn) as trainer:
+        trainer.profile_steps = args.profile
         trainer.maybe_resume()
         trainer.fit(n_iters=args.n_iters, progress=not args.no_progress)
     print("training complete")
