@@ -1,16 +1,22 @@
 """Weak-scaling efficiency of the data-parallel train step.
 
 Runs the shard_map'd step on 1..N devices with a FIXED per-device ray
-batch and reports steps/s and efficiency vs 1 device.  On a real pod
-slice this is the BASELINE.md scaling-efficiency metric.  NOTE: on the
-virtual CPU mesh (``xla_force_host_platform_device_count``) the
-"devices" share the same physical cores, so the efficiency numbers
-mostly measure core oversubscription — use the CPU run only to validate
-that the sharded path executes, not to judge scaling.
+batch and reports steps/s and efficiency vs 1 device — the
+BASELINE.json "scaling eff 1->N hosts" metric, emitted in that format
+so the >=85%-to-2-hosts north star is one command away when a pod
+slice exists.  On TPU the workload is the FLAGSHIP config (the bench.py
+headline: Replica-scene 8x256 coarse+fine with fused kernel, 512
+pairs/device at 240x320, 64+128 samples, full loss stack + live
+cluster table); a single chip therefore produces the 1-device row of
+the scaling table.  NOTE: on the virtual CPU mesh
+(``xla_force_host_platform_device_count``) the "devices" share the same
+physical cores, so efficiency numbers mostly measure core
+oversubscription — the CPU run (shrunken model) only validates that the
+sharded path executes.
 
 Usage:
-  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-  python bench_scaling.py [--devices 1 2 4 8] [--n-rays 64]
+  python bench_scaling.py                       # TPU: flagship config
+  python bench_scaling.py --cpu-mesh 8          # CPU: correctness mode
 """
 
 import argparse
@@ -19,9 +25,17 @@ import json
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
-    parser.add_argument("--n-rays", type=int, default=64)
-    parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument(
+        "--devices", type=int, nargs="+", default=None,
+        help="device counts to run (default: powers of 2 up to the "
+        "available count)",
+    )
+    parser.add_argument(
+        "--n-rays", type=int, default=None,
+        help="sampled pixels per device (default: 512 on TPU = the "
+        "flagship config; 64 on CPU)",
+    )
+    parser.add_argument("--iters", type=int, default=None)
     parser.add_argument(
         "--cpu-mesh",
         type=int,
@@ -38,6 +52,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.cpu_mesh)
 
+    import numpy as np
     import jax.numpy as jnp
     import optax
 
@@ -49,9 +64,18 @@ def main():
     from intrinsicnerf_tpu.render.pipeline import RenderConfig
     from intrinsicnerf_tpu.train.step import TrainConfig, create_train_state
 
-    h = w = 32
-    n_classes = 8
     on_cpu = jax.default_backend() == "cpu"
+    if args.devices is None:
+        args.devices = sorted(
+            {1 << k for k in range(8) if (1 << k) <= jax.device_count()}
+        )
+    if args.n_rays is None:
+        args.n_rays = 64 if on_cpu else 512
+    if args.iters is None:
+        args.iters = 30 if on_cpu else 200
+
+    h, w = (32, 32) if on_cpu else (240, 320)
+    n_classes = 8 if on_cpu else 27
     mcfg = MLPConfig(
         depth=8 if not on_cpu else 4,
         width=256 if not on_cpu else 64,
@@ -60,10 +84,12 @@ def main():
         enable_semantic=True,
         num_semantic_classes=n_classes,
         compute_dtype=jnp.bfloat16 if not on_cpu else jnp.float32,
+        use_fused_kernel=not on_cpu,
     )
     rcfg = RenderConfig(
         n_coarse=64 if not on_cpu else 16,
         n_importance=128 if not on_cpu else 32,
+        perturb=1.0,
         raw_noise_std=1.0,
     )
     tcfg = TrainConfig(n_rays=args.n_rays)

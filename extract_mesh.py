@@ -25,7 +25,10 @@ def main():
                         help="scene mesh PLY defining oriented bounds")
     parser.add_argument("--grid_dim", type=int, default=256)
     parser.add_argument("--level", type=float, default=0.45)
-    parser.add_argument("--min_cluster", type=int, default=400)
+    parser.add_argument("--min_cluster", type=int, default=400,
+                        help="drop components with fewer faces; pass -1 to "
+                        "keep only the largest component "
+                        "(open3d keep_single_cluster parity)")
     parser.add_argument("--near_t", type=float, default=1.0)
     parser.add_argument("--sem", action="store_true",
                         help="color by semantic class instead of rgb")

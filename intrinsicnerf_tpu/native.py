@@ -92,7 +92,9 @@ def filter_small_components(
     triangles: np.ndarray, n_verts: int, min_faces: int
 ) -> np.ndarray:
     """Boolean keep-mask over triangles whose connected component has at
-    least ``min_faces`` faces (open3d clean_mesh equivalent)."""
+    least ``min_faces`` faces; ``min_faces < 0`` keeps only the largest
+    component (open3d ``clean_mesh`` equivalent incl. its
+    ``keep_single_cluster`` mode, ``open3d_utils.py:175-199``)."""
     lib = _load()
     triangles = np.ascontiguousarray(triangles, np.int64)
     n_tris = len(triangles)
@@ -250,4 +252,6 @@ def _filter_components_np(triangles, n_verts, min_faces):
         parent[find(b)] = find(c)
     roots = np.array([find(t[0]) for t in triangles])
     _, inv, counts = np.unique(roots, return_inverse=True, return_counts=True)
+    if min_faces < 0:  # keep_single_cluster: only the largest component
+        return inv == np.argmax(counts)
     return counts[inv] >= min_faces

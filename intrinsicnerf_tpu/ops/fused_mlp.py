@@ -51,6 +51,7 @@ from intrinsicnerf_tpu.models.mlp import MLPConfig, Params
 
 TILE_FWD = 2048  # points per fwd grid step (tuned on v5e: 3.78 ms vs 3.86 @1024)
 TILE_BWD = 1024  # points per bwd grid step (VMEM-bound: keeps all acts)
+SAVE_DTYPE = jnp.float32  # remat activation dtype in the bwd kernel
 # the bwd kernel's weights+grads+activations sit right at Mosaic's 16MB
 # default scoped-vmem limit; raise it explicitly (v5e has far more VMEM)
 VMEM_LIMIT_BYTES = 32 * 1024 * 1024
@@ -260,6 +261,25 @@ def _mm(a, b):
     )
 
 
+def _mm_tn(a, b):
+    """``a.T @ b`` via dot_general contraction on dim 0 — no explicit
+    transpose relayout in VMEM (dW accumulation in the backward)."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _mm_nt(a, b):
+    """``a @ b.T`` via dot_general contraction on dim 1 (dX chains)."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _forward_tile(w, feat, save_dtype=jnp.float32, want_out=True):
     """feat: [T, IN_W] packed PE block.  Returns (out, saved acts).
     ``save_dtype=bfloat16`` halves the backward kernel's VMEM residency
@@ -322,55 +342,55 @@ def _bwd_kernel(in8_ref, g_ref, pe_ref, sm_ref, *refs):
             r[...] = jnp.zeros_like(r)
 
     feat = _compute_feat(in8_ref[...], pe_ref[...], sm_ref[...])
-    _, st = _forward_tile(w, feat, want_out=False)
+    _, st = _forward_tile(w, feat, save_dtype=SAVE_DTYPE, want_out=False)
     acts = st["acts"]
     H = acts[7]
     go = g_ref[...]
 
     def acc(wkey, bkey, a, gb):
-        g[wkey][...] += _mm(a.T, gb)
+        g[wkey][...] += _mm_tn(a, gb)
         g[bkey][...] += jnp.sum(gb, axis=0, keepdims=True)
 
-    dH = _mm(go, w["w_sig"].T)
+    dH = _mm_nt(go, w["w_sig"])
     acc("w_sig", "b_sig", H, go)
 
-    ga1 = _mm(go, w["w_a2"].T) * (st["a1"] > 0)
+    ga1 = _mm_nt(go, w["w_a2"]) * (st["a1"] > 0)
     acc("w_a2", "b_a2", st["a1"], go)
-    dH += _mm(ga1, w["w_a1"].T)
+    dH += _mm_nt(ga1, w["w_a1"])
     acc("w_a1", "b_a1", H, ga1)
 
-    gs1 = _mm(go, w["w_s2"].T) * (st["s1"] > 0)
+    gs1 = _mm_nt(go, w["w_s2"]) * (st["s1"] > 0)
     acc("w_s2", "b_s2", st["s1"], go)
-    dH += _mm(gs1, w["w_s1"].T)
+    dH += _mm_nt(gs1, w["w_s1"])
     acc("w_s1", "b_s1", H, gs1)
 
-    gm1 = _mm(go, w["w_m2"].T) * (st["m1"] > 0)
+    gm1 = _mm_nt(go, w["w_m2"]) * (st["m1"] > 0)
     acc("w_m2", "b_m2", st["m1"], go)
-    dH += _mm(gm1, w["w_m1"].T)
+    dH += _mm_nt(gm1, w["w_m1"])
     acc("w_m1", "b_m1", H, gm1)
 
-    gv = _mm(go, w["w_r"].T) * (st["v"] > 0)
+    gv = _mm_nt(go, w["w_r"]) * (st["v"] > 0)
     acc("w_r", "b_r", st["v"], go)
-    gf = _mm(gv, w["wv_f"].T)
-    g["wv_f"][...] += _mm(st["f"].T, gv)
-    g["wv_d"][...] += _mm(feat.T, gv)
+    gf = _mm_nt(gv, w["wv_f"])
+    g["wv_f"][...] += _mm_tn(st["f"], gv)
+    g["wv_d"][...] += _mm_tn(feat, gv)
     g["b_v"][...] += jnp.sum(gv, axis=0, keepdims=True)
-    dH += _mm(gf, w["w_f"].T)
+    dH += _mm_nt(gf, w["w_f"])
     acc("w_f", "b_f", H, gf)
 
     gh = dH * (H > 0)
     acc("w7", "b7", acts[6], gh)
-    gh = _mm(gh, w["w7"].T) * (acts[6] > 0)
+    gh = _mm_nt(gh, w["w7"]) * (acts[6] > 0)
     acc("w6", "b6", acts[5], gh)
-    gh = _mm(gh, w["w6"].T) * (acts[5] > 0)
-    g["w5h"][...] += _mm(acts[4].T, gh)
-    g["w5x"][...] += _mm(feat.T, gh)
+    gh = _mm_nt(gh, w["w6"]) * (acts[5] > 0)
+    g["w5h"][...] += _mm_tn(acts[4], gh)
+    g["w5x"][...] += _mm_tn(feat, gh)
     g["b5"][...] += jnp.sum(gh, axis=0, keepdims=True)
-    gh = _mm(gh, w["w5h"].T) * (acts[4] > 0)
+    gh = _mm_nt(gh, w["w5h"]) * (acts[4] > 0)
     for i in range(4, 0, -1):
         acc(f"w{i}", f"b{i}", acts[i - 1], gh)
-        gh = _mm(gh, w[f"w{i}"].T) * (acts[i - 1] > 0)
-    g["w0"][...] += _mm(feat.T, gh)
+        gh = _mm_nt(gh, w[f"w{i}"]) * (acts[i - 1] > 0)
+    g["w0"][...] += _mm_tn(feat, gh)
     g["b0"][...] += jnp.sum(gh, axis=0, keepdims=True)
 
 

@@ -231,6 +231,23 @@ int64_t filter_small_components(const int64_t* triangles, int64_t n_tris,
     root[t] = find(triangles[3 * t]);
     comp_faces[root[t]]++;
   }
+  // min_faces < 0 selects "keep only the largest component" (the
+  // open3d clean_mesh keep_single_cluster mode)
+  if (min_faces < 0) {
+    int64_t best_root = -1, best = -1;
+    for (const auto& kv : comp_faces) {
+      if (kv.second > best) {
+        best = kv.second;
+        best_root = kv.first;
+      }
+    }
+    int64_t kept = 0;
+    for (int64_t t = 0; t < n_tris; ++t) {
+      keep_mask[t] = root[t] == best_root ? 1 : 0;
+      kept += keep_mask[t];
+    }
+    return kept;
+  }
   int64_t kept = 0;
   for (int64_t t = 0; t < n_tris; ++t) {
     keep_mask[t] = comp_faces[root[t]] >= min_faces ? 1 : 0;

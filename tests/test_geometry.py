@@ -133,3 +133,22 @@ def test_grid_within_bound():
     np.testing.assert_allclose(center, [1, 2, 3], atol=1e-5)
     # spans extents/0.9
     np.testing.assert_allclose(pts[:, 0].max() - pts[:, 0].min(), 2 / 0.9 * 2 / 2, rtol=1e-5)
+
+
+def test_keep_largest_component():
+    """min_faces = -1 keeps only the largest connected component (open3d
+    clean_mesh keep_single_cluster parity, open3d_utils.py:186-191)."""
+    import numpy as np
+
+    from intrinsicnerf_tpu.native import (
+        _filter_components_np,
+        filter_small_components,
+    )
+
+    # comp A: 3 faces on verts 0-4; comp B: 1 face on verts 5-7
+    tris = np.array(
+        [[0, 1, 2], [1, 2, 3], [2, 3, 4], [5, 6, 7]], np.int64
+    )
+    for fn in (filter_small_components, _filter_components_np):
+        keep = fn(tris, 8, -1)
+        assert keep.tolist() == [True, True, True, False], fn
