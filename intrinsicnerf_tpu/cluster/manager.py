@@ -40,8 +40,13 @@ def map_drgb_np(rgb: np.ndarray, intensity_factor: float = 0.5) -> np.ndarray:
     intensity = rgb.sum(-1)
     out = np.empty_like(rgb)
     out[..., 0] = intensity / 3.0 * intensity_factor
-    out[..., 1] = rgb[..., 1] / intensity
-    out[..., 2] = rgb[..., 2] / intensity
+    # masked divide: zero-intensity pixels (empty rays) map to NaN
+    # explicitly so build_cluster's finite-filter drops them, without the
+    # 0/0 RuntimeWarning the plain divide emits
+    pos = intensity > 0
+    safe = np.where(pos, intensity, 1.0)
+    out[..., 1] = np.where(pos, rgb[..., 1] / safe, np.nan)
+    out[..., 2] = np.where(pos, rgb[..., 2] / safe, np.nan)
     return out
 
 

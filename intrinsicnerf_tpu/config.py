@@ -23,6 +23,15 @@ from intrinsicnerf_tpu.render.pipeline import RenderConfig
 from intrinsicnerf_tpu.train.step import TrainConfig
 
 
+def _fused_kernel_default(depth: int, width: int, use_viewdirs: bool) -> bool:
+    """The fused Pallas MLP kernel is on by default for the reference
+    architecture (D=8, W=256, skip@4, viewdirs) it implements — the
+    remaining eligibility checks (PE widths, semantic-class count) are
+    re-verified at runtime by ``train.step.packs_state`` /
+    ``models.mlp.eval_points``, which fall back to the XLA path."""
+    return depth == 8 and width == 256 and use_viewdirs
+
+
 def _arith(v):
     """Evaluate arithmetic config strings like '32*16' safely."""
     if isinstance(v, str):
@@ -120,18 +129,26 @@ def from_yaml(path: str, overrides: Optional[Dict[str, Any]] = None) -> Framewor
         str(cfg.get("compute_dtype", "bfloat16"))
     ]
     depth = int(model.get("netdepth", 8))
+    width = int(model.get("netwidth", 256))
+    use_viewdirs = bool(render.get("use_viewdirs", True))
     mlp = MLPConfig(
         depth=depth,
-        width=int(model.get("netwidth", 256)),
+        width=width,
         skips=(4,) if depth > 5 else (depth // 2,),
         n_freqs_pos=int(render.get("multires", 10)),
         n_freqs_dir=int(render.get("multires_views", 4)),
         pos_scalar_factor=float(cfg.get("pos_scalar_factor", 10.0)),
-        use_viewdirs=bool(render.get("use_viewdirs", True)),
+        use_viewdirs=use_viewdirs,
         enable_semantic=experiment.enable_semantic,
         num_semantic_classes=0,  # filled in from the dataset
         compute_dtype=dtype,
-        use_fused_kernel=bool(cfg.get("use_fused_kernel", False)),
+        # the fused Pallas trunk+heads kernel is the DEFAULT for the
+        # reference architecture (~3x the XLA path on v5e); set
+        # use_fused_kernel: false to force the XLA path
+        use_fused_kernel=bool(
+            cfg.get("use_fused_kernel", _fused_kernel_default(depth, width,
+                                                              use_viewdirs))
+        ),
     )
     rcfg = RenderConfig(
         n_coarse=int(render.get("N_samples", 64)),
@@ -213,17 +230,22 @@ def from_object_txt(
         str(cfg.get("compute_dtype", "bfloat16"))
     ]
     depth = int(cfg.get("netdepth", 8))
+    width = int(cfg.get("netwidth", 256))
+    use_viewdirs = bool(cfg.get("use_viewdirs", True))
     mlp = MLPConfig(
         depth=depth,
-        width=int(cfg.get("netwidth", 256)),
+        width=width,
         skips=(4,) if depth > 5 else (depth // 2,),
         n_freqs_pos=int(cfg.get("multires", 10)),
         n_freqs_dir=int(cfg.get("multires_views", 4)),
         pos_scalar_factor=1.0,
-        use_viewdirs=bool(cfg.get("use_viewdirs", True)),
+        use_viewdirs=use_viewdirs,
         enable_semantic=False,
         compute_dtype=dtype,
-        use_fused_kernel=bool(cfg.get("use_fused_kernel", False)),
+        use_fused_kernel=bool(
+            cfg.get("use_fused_kernel", _fused_kernel_default(depth, width,
+                                                              use_viewdirs))
+        ),
     )
     rcfg = RenderConfig(
         n_coarse=int(cfg.get("N_samples", 64)),

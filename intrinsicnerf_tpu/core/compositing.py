@@ -16,8 +16,7 @@ Behavioral parity target: ``raw2outputs``
 TPU-first design: the model returns a *struct* of heads instead of the
 reference's packed raw vector, so compositing is one weighted reduction
 per head; XLA fuses the cumprod scan and the reductions into a single
-pass over the sample axis (a fused Pallas kernel is provided in
-``ops/`` for the hot path).
+pass over the sample axis.
 """
 
 from __future__ import annotations

@@ -193,12 +193,18 @@ def eval_points(
         from intrinsicnerf_tpu.ops.fused_mlp import (
             DIR_OFF,
             IN_W,
+            OUT_W,
             fused_eval_points,
         )
 
-        # the packed-feature layout fits pos-PE below DIR_OFF and dir-PE
-        # in the remainder; otherwise fall back to the XLA path
-        if cfg.input_ch <= DIR_OFF and cfg.input_ch_views <= IN_W - DIR_OFF:
+        # the packed layout fits pos-PE below DIR_OFF, dir-PE in the
+        # remainder, and sigma+heads+semantics in OUT_W output columns;
+        # otherwise fall back to the XLA path
+        if (
+            cfg.input_ch <= DIR_OFF
+            and cfg.input_ch_views <= IN_W - DIR_OFF
+            and 8 + max(cfg.num_semantic_classes, 1) <= OUT_W
+        ):
             return fused_eval_points(params, cfg, pts, viewdirs)
     from intrinsicnerf_tpu.ops.fused_mlp import is_packed, unpack_weights
 

@@ -128,16 +128,24 @@ def render_rays_chunked(
     params_coarse: Params,
     params_fine: Optional[Params],
     mlp_cfg: MLPConfig,
-    rays: jnp.ndarray,  # [M, 11]; M must be a multiple of chunk
+    rays: jnp.ndarray,  # [M, 11]; any M (padded up to a chunk multiple)
     rcfg: RenderConfig,
     chunk: int = 4096,
 ) -> RenderResult:
     """Eval-mode full-image render: ``lax.map`` over fixed-size chunks to
     bound device memory (replaces the reference's Python ``batchify_rays``
-    loop with a single compiled scan)."""
+    loop with a single compiled scan).  Awkward ray counts are padded
+    with a copy of the last ray (finite math on the pad lane) and the
+    padding is sliced back off — one compiled chunk size for any
+    resolution instead of degrading toward chunk=1."""
     m = rays.shape[0]
-    assert m % chunk == 0, f"ray count {m} not divisible by chunk {chunk}"
-    rays_c = rays.reshape(m // chunk, chunk, rays.shape[-1])
+    chunk = min(chunk, m)
+    pad = (-m) % chunk
+    if pad:
+        rays = jnp.concatenate(
+            [rays, jnp.broadcast_to(rays[-1:], (pad, rays.shape[-1]))]
+        )
+    rays_c = rays.reshape(-1, chunk, rays.shape[-1])
 
     def body(r):
         return render_rays(
@@ -145,7 +153,10 @@ def render_rays_chunked(
         )
 
     out = jax.lax.map(body, rays_c)
-    # flatten the chunk axis back out of every leaf
+    # flatten the chunk axis back out of every leaf, dropping the pad
     return jax.tree_util.tree_map(
-        lambda x: x.reshape(m, *x.shape[2:]) if x is not None else None, out
+        lambda x: x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])[:m]
+        if x is not None
+        else None,
+        out,
     )

@@ -276,6 +276,9 @@ def prepare_blender_bundle(
         h_scaled=h,
         w_scaled=w,
         num_valid_classes=0,
+        # object pipeline rebuilds clusters from the *test* views
+        # (object_level/run_nerf.py:1071), not the spherical render path
+        rays_cluster=rays_test,
         test_gt={"image": np.asarray(images[i_test], np.float32)},
     )
     return bundle, pose_pools

