@@ -44,13 +44,38 @@ def main():
         help="force an N-device virtual CPU mesh (XLA_FLAGS alone comes "
         "too late when a sitecustomize imports jax at interpreter start)",
     )
+    # multi-host rows.  --processes N self-spawns an N-process
+    # jax.distributed rig on this machine (CPU devices; validates the
+    # multi-host path + measures its overhead without a pod).  On a real
+    # pod, instead run this script once per host with --coordinator /
+    # --num_processes / --process_id (or TPU auto-detection) and the
+    # per-host device count is discovered from the slice.
+    parser.add_argument(
+        "--processes", type=int, default=0, metavar="N",
+        help="self-spawn N local processes (each with --cpu-mesh devices, "
+        "default 2) and run the multi-host sharded step across them",
+    )
+    parser.add_argument("--coordinator", type=str, default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args()
+
+    if args.processes:
+        _spawn_rig(args)
+        return
 
     import jax
 
     if args.cpu_mesh:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.cpu_mesh)
+    multihost = args.coordinator is not None
+    if multihost:
+        jax.distributed.initialize(
+            args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     import numpy as np
     import jax.numpy as jnp
@@ -65,7 +90,10 @@ def main():
     from intrinsicnerf_tpu.train.step import TrainConfig, create_train_state
 
     on_cpu = jax.default_backend() == "cpu"
-    if args.devices is None:
+    if multihost:
+        # one row: all global devices (subsets can't idle whole processes)
+        args.devices = [jax.device_count()]
+    elif args.devices is None:
         args.devices = sorted(
             {1 << k for k in range(8) if (1 << k) <= jax.device_count()}
         )
@@ -111,7 +139,21 @@ def main():
         pools_n = jax.tree_util.tree_map(
             lambda x: None if x is None else x[:n_dev], pools_host
         )
-        pools = shard_pools(mesh, pools_n)
+        if multihost:
+            # host-local loading path: this process contributes only its
+            # image slice; make_global_pools assembles the global arrays
+            from intrinsicnerf_tpu.parallel.distributed import (
+                local_image_slice,
+                make_global_pools,
+            )
+
+            sl = local_image_slice(n_dev)
+            pools_local = jax.tree_util.tree_map(
+                lambda x: None if x is None else np.asarray(x)[sl], pools_n
+            )
+            pools = make_global_pools(mesh, pools_local)
+        else:
+            pools = shard_pools(mesh, pools_n)
         state = replicate(
             mesh, create_train_state(jax.random.key(0), mcfg, tcfg, opt)
         )
@@ -135,15 +177,56 @@ def main():
     base = results[base_dev]["ms_per_step"]
     for n_dev, r in results.items():
         r["weak_scaling_efficiency"] = round(base / r["ms_per_step"], 3)
-    print(
-        json.dumps(
-            {
-                "backend": jax.default_backend(),
-                "efficiency_baseline_devices": base_dev,
-                "results": results,
-            }
+    if jax.process_index() == 0:
+        print(
+            json.dumps(
+                {
+                    "backend": jax.default_backend(),
+                    "processes": jax.process_count(),
+                    "efficiency_baseline_devices": base_dev,
+                    "results": results,
+                }
+            )
         )
-    )
+
+
+def _spawn_rig(args):
+    """--processes N: run this script N times under jax.distributed on
+    localhost (each process gets --cpu-mesh virtual CPU devices,
+    default 2) and relay process 0's JSON."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    per_proc = args.cpu_mesh or 2
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""  # CPU rig: skip TPU plugin
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd_base = [sys.executable, os.path.abspath(__file__),
+                "--cpu-mesh", str(per_proc),
+                "--coordinator", coord,
+                "--num_processes", str(args.processes)]
+    if args.n_rays is not None:
+        cmd_base += ["--n-rays", str(args.n_rays)]
+    if args.iters is not None:
+        cmd_base += ["--iters", str(args.iters)]
+    procs = [
+        subprocess.Popen(
+            cmd_base + ["--process_id", str(i)],
+            env=env,
+            stdout=None if i == 0 else subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL if i else None,
+        )
+        for i in range(args.processes)
+    ]
+    codes = [p.wait() for p in procs]
+    if any(codes):
+        raise SystemExit(f"multi-process rig failed: exit codes {codes}")
 
 
 if __name__ == "__main__":

@@ -149,6 +149,36 @@ def load_replica(
     )
 
 
+def rebuild_semantic_remap(
+    data: ReplicaDataset, semantic_classes: np.ndarray
+) -> ReplicaDataset:
+    """Recompute the dense [0, C) label remap against an externally
+    agreed class set (multi-host: each host loads only its image shard,
+    so the locally-observed classes differ — the remap, and with it the
+    semantic head width, must come from the all-host union, see
+    ``parallel.distributed.allgather_semantic_classes``).  Mutates and
+    returns ``data``."""
+    semantic_classes = np.unique(np.asarray(semantic_classes, np.int64))
+    remap = np.zeros(int(semantic_classes.max()) + 1, np.int64)
+    remap[semantic_classes] = np.arange(len(semantic_classes))
+
+    for samples in (data.train_samples, data.test_samples):
+        if "semantic" in samples and samples["semantic"].size:
+            observed = np.unique(samples["semantic"])
+            assert np.isin(observed, semantic_classes).all(), (
+                "labels outside the agreed class set: "
+                f"{np.setdiff1d(observed, semantic_classes)}"
+            )
+            samples["semantic_remap"] = remap[samples["semantic"]]
+    if data.train_samples.get("semantic") is not None:
+        data.train_samples["semantic_remap_clean"] = data.train_samples[
+            "semantic_remap"
+        ].copy()
+    data.semantic_classes = semantic_classes
+    data.num_semantic_class = len(semantic_classes)
+    return data
+
+
 def _load_class_names(data_dir: str) -> Optional[List[str]]:
     """Replica class-name table from ``info_semantic.json`` (searched in
     the sequence dir and its parents, where the official release puts

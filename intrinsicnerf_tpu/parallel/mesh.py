@@ -28,8 +28,18 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
 
 
 def replicate(mesh: Mesh, tree):
-    """Place a pytree replicated over the mesh."""
+    """Place a pytree replicated over the mesh.  Works across processes:
+    under multi-controller JAX a plain device_put cannot address other
+    hosts' devices, so host-local values (identical on every process —
+    same seed / same restore) are lifted to global replicated arrays."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.device_put(tree, sharding)
 
 

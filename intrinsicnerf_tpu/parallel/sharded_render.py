@@ -39,6 +39,7 @@ def make_sharded_render(
     n_rays: int,
     chunk: int = 4096,
     axis: str = "data",
+    replicate_output: bool = False,
 ):
     """Returns ``render(params_coarse, params_fine, rays [n_rays, 11])
     -> RenderResult`` jitted over the mesh with the ray axis sharded.
@@ -47,6 +48,12 @@ def make_sharded_render(
     the mesh size inside the wrapper; outputs are sliced back, so
     callers use arbitrary resolutions.  The per-device chunk is clipped
     to divide the local ray count.
+
+    ``replicate_output``: all_gather the rendered maps over the mesh so
+    EVERY process holds the full view — required in multi-host runs,
+    where the host-side consumers (cluster mean-shift, metrics, image
+    writes) need whole views and a P(axis)-sharded output would not be
+    fully addressable on any single host.
     """
     n_dev = mesh.devices.size
     pad = (-n_rays) % n_dev
@@ -55,15 +62,20 @@ def make_sharded_render(
     local_chunk = _largest_divisor_chunk(local, chunk)
 
     def local_render(pc, pf, rays_local):
-        return render_rays_chunked(
+        out = render_rays_chunked(
             pc, pf, mcfg, rays_local, rcfg, chunk=local_chunk
         )
+        if replicate_output:
+            out = jax.tree_util.tree_map(
+                lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True), out
+            )
+        return out
 
     mapped = shard_map(
         local_render,
         mesh=mesh,
         in_specs=(P(), P(), P(axis)),
-        out_specs=P(axis),
+        out_specs=P() if replicate_output else P(axis),
         check_vma=False,
     )
     jitted = jax.jit(mapped)

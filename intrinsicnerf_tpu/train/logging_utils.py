@@ -63,6 +63,26 @@ class TBLogger:
             self.writer.close()
 
 
+class NullLogger:
+    """No-op logger for non-lead processes in multi-host runs (file IO —
+    TB events, CSV — is owned by process 0; training-side computation is
+    identical everywhere)."""
+
+    writer = None
+
+    def scalars(self, step, values):
+        pass
+
+    def histogram(self, step, name, values):
+        pass
+
+    def image(self, step, name, img, dataformats="HWC"):
+        pass
+
+    def close(self):
+        pass
+
+
 def start_profiler_trace(log_dir: str):
     import jax
 

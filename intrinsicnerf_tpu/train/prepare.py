@@ -65,10 +65,14 @@ def prepare_replica_bundle(cfg: FrameworkConfig, data) -> SceneBundle:
         jnp.asarray(train["T_wc"], jnp.float32), hs, ws, fxs, fys, cxs, cys,
         near, far, convention=conv,
     )
-    rays_test = create_rays(
-        jnp.asarray(test["T_wc"], jnp.float32), hs, ws, fxs, fys, cxs, cys,
-        near, far, convention=conv,
-    )
+    n_test = len(test["image"])
+    if n_test:
+        rays_test = create_rays(
+            jnp.asarray(test["T_wc"], jnp.float32), hs, ws, fxs, fys, cxs, cys,
+            near, far, convention=conv,
+        )
+    else:  # multi-host non-lead: test split loaded empty (GT lives on lead)
+        rays_test = jnp.zeros((0, hs * ws, 11), jnp.float32)
 
     n_train = train["image"].shape[0]
     pools = DataPools(
@@ -84,17 +88,20 @@ def prepare_replica_bundle(cfg: FrameworkConfig, data) -> SceneBundle:
     )
 
     # scaled GT for eval; labels shifted so void -> -1 (trainer.py:247)
-    test_gt = {
-        "image": _resize_stack(test["image"], hs, ws),
-        "depth": _resize_stack(test["depth"], hs, ws),
-    }
-    if cfg.experiment.enable_semantic:
-        # evaluate against clean GT labels when the dataset provides them
-        # (NYU-CNN trains on predicted labels but evals on GT)
-        eval_sem = test.get("semantic_remap_clean", test["semantic_remap"])
-        test_gt["semantic"] = (
-            _resize_stack(eval_sem, hs, ws, nearest=True).astype(np.int64) - 1
-        )
+    test_gt = {}
+    if n_test:
+        test_gt = {
+            "image": _resize_stack(test["image"], hs, ws),
+            "depth": _resize_stack(test["depth"], hs, ws),
+        }
+        if cfg.experiment.enable_semantic:
+            # evaluate against clean GT labels when the dataset provides
+            # them (NYU-CNN trains on predicted labels but evals on GT)
+            eval_sem = test.get("semantic_remap_clean", test["semantic_remap"])
+            test_gt["semantic"] = (
+                _resize_stack(eval_sem, hs, ws, nearest=True).astype(np.int64)
+                - 1
+            )
     # train-set GT at viz scale: the cluster-rebuild render logs batch
     # PSNR / depth metrics / mIoU against these (trainer.py:1083-1118)
     train_gt = {"image": _resize_stack(train["image"], hs, ws)}

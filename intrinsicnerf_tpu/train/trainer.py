@@ -133,9 +133,19 @@ class Trainer:
         self.cfg = cfg
         self.bundle = bundle
         self.save_dir = cfg.experiment.save_dir
+        # multi-host: every process runs the same compute; process 0 owns
+        # all file IO (TB events, rendered images, videos, legend)
+        self._lead = jax.process_index() == 0
         os.makedirs(self.save_dir, exist_ok=True)
-        self.logger = TBLogger(os.path.join(self.save_dir, "tfb_logs"), cfg.raw)
-        if cfg.raw:  # config dump for later inspection (trainer.py:56-59)
+        if self._lead:
+            self.logger = TBLogger(
+                os.path.join(self.save_dir, "tfb_logs"), cfg.raw
+            )
+        else:
+            from intrinsicnerf_tpu.train.logging_utils import NullLogger
+
+            self.logger = NullLogger()
+        if cfg.raw and self._lead:  # config dump (trainer.py:56-59)
             import yaml
 
             with open(os.path.join(self.save_dir, "exp_config.yaml"), "w") as f:
@@ -180,14 +190,27 @@ class Trainer:
             )
 
             n_dev = mesh.devices.size
-            pools_host = jax.tree_util.tree_map(
-                lambda x: None if x is None else jax.device_get(x),
-                bundle.pools,
-            )
-            pools_host = pad_images_to_multiple(pools_host, n_dev)
-            self.bundle = bundle = dataclasses.replace(
-                bundle, pools=shard_pools(mesh, pools_host)
-            )
+            if jax.process_count() > 1:
+                # multi-host: bundle.pools hold HOST-LOCAL image shards
+                # (the CLI loaded only local_train_ids' frames) — lift
+                # them to one globally-sharded array per leaf without any
+                # host ever materializing the full pools
+                from intrinsicnerf_tpu.parallel.distributed import (
+                    make_global_pools,
+                )
+
+                self.bundle = bundle = dataclasses.replace(
+                    bundle, pools=make_global_pools(mesh, bundle.pools)
+                )
+            else:
+                pools_host = jax.tree_util.tree_map(
+                    lambda x: None if x is None else jax.device_get(x),
+                    bundle.pools,
+                )
+                pools_host = pad_images_to_multiple(pools_host, n_dev)
+                self.bundle = bundle = dataclasses.replace(
+                    bundle, pools=shard_pools(mesh, pools_host)
+                )
             self.state = replicate(mesh, self.state)
             self.step_fn = make_sharded_train_step(
                 self.mcfg, cfg.render, cfg.train, self.optimizer, bundle.h,
@@ -228,6 +251,9 @@ class Trainer:
             self._render = make_sharded_render(
                 self.mcfg, dataclasses.replace(cfg.render), mesh,
                 bundle.h_scaled * bundle.w_scaled, chunk=cfg.chunk,
+                # multi-host: every process needs the full view on host
+                # (cluster mean-shift, metrics, lead-side image writes)
+                replicate_output=jax.process_count() > 1,
             )
         else:
             self._render = jax.jit(
@@ -431,7 +457,7 @@ class Trainer:
             ]
             legend = plot_semantic_legend(
                 ids, names, colormap=label_colormap(int(ids.max()) + 2),
-                save_path=self.save_dir,
+                save_path=self.save_dir if self._lead else None,
             )
         if self.logger.writer is None:
             return
@@ -458,7 +484,10 @@ class Trainer:
     def _save_async(self, path: str, arr: np.ndarray):
         """Queue an image write on the IO pool.  Writes (and their
         errors) only land at the next ``flush_io()`` — callers that read
-        the files back (video generation, tests) must flush first."""
+        the files back (video generation, tests) must flush first.
+        Multi-host: only the lead process writes files."""
+        if not self._lead:
+            return
         self._io_futures.append(self._io_pool.submit(_save_img, path, arr))
 
     def flush_io(self):
@@ -542,7 +571,7 @@ class Trainer:
             os.path.join(save_dir, f"vis_depth_{i:03d}.png"),
             depth2rgb(view["depth"], min_value=near, max_value=far),
         )
-        if "feat" in view:
+        if "feat" in view and self._lead:
             # composited endpoint feature map — .npy (float payload, not
             # an image); consumed by label-propagation style experiments
             np.save(os.path.join(save_dir, f"feat_{i:03d}.npy"), view["feat"])
@@ -573,11 +602,13 @@ class Trainer:
         reflectance clusters with annealed (w_c, b_f), swap in the new
         device table, and write the clustered/recomposed previews."""
         cfg = self.cfg
+        save = save and self._lead  # compute everywhere, write on lead
         self.w_c, self.b_f = cluster_anneal(
             step, cfg.logging.step_vis_train, cfg.train.n_iters, cfg.b_f_cap
         )
         save_dir = os.path.join(self.save_dir, "train_render", f"step_{step:06d}")
-        os.makedirs(save_dir, exist_ok=True)
+        if save:
+            os.makedirs(save_dir, exist_ok=True)
 
         rays_rebuild = (
             self.bundle.rays_cluster
@@ -602,8 +633,9 @@ class Trainer:
         mgr.update_centers(
             np.concatenate(labels), np.concatenate(pixels), band_factor=self.b_f
         )
-        print(f"cluster rebuild @{step}: {time.time()-tic:.1f}s "
-              f"(w_c={self.w_c:.3g}, b_f={self.b_f:.3g})")
+        if self._lead:
+            print(f"cluster rebuild @{step}: {time.time()-tic:.1f}s "
+                  f"(w_c={self.w_c:.3g}, b_f={self.b_f:.3g})")
         self.cluster_manager = mgr
         self.table = mgr.to_table()
         if save:
@@ -722,7 +754,11 @@ class Trainer:
     # ------------------------------------------------------------- eval
 
     def evaluate(self, step: int, save: bool = True) -> Dict[str, float]:
-        """Render the test views, compute PSNR / depth / mIoU suites."""
+        """Render the test views, compute PSNR / depth / mIoU suites.
+        Multi-host: all processes render (the sharded render is a
+        collective over identical rays_test); GT metrics and file writes
+        happen where the GT lives (the lead)."""
+        save = save and self._lead
         save_dir = os.path.join(self.save_dir, "test_render", f"step_{step:06d}")
         if save:
             os.makedirs(save_dir, exist_ok=True)
@@ -765,7 +801,11 @@ class Trainer:
             )
         self.logger.scalars(step, {f"Test/{k}": v for k, v in metrics.items()})
         self._log_view_panels(step, "Test", views)
-        print(f"eval @{step}: " + ", ".join(f"{k}={v:.4g}" for k, v in metrics.items()))
+        if self._lead:
+            print(
+                f"eval @{step}: "
+                + ", ".join(f"{k}={v:.4g}" for k, v in metrics.items())
+            )
         if save:
             self.flush_io()  # video generation reads the PNGs from disk
             try:  # mp4s of every rendered modality (trainer.py:1088-1093)

@@ -82,6 +82,100 @@ def build_dataset(cfg, args):
     return data
 
 
+def build_multihost_replica_bundle(cfg, args):
+    """Multi-host (jax.process_count() > 1) data path: each host loads
+    only its train-image shard (``local_train_ids``), the semantic class
+    set is agreed by allgather so the dense label remap — and the model's
+    semantic head — is identical everywhere, the eval/test GT images are
+    read only on the lead host, and the vis/test RAY blocks (needed by
+    every process: the sharded full-image render is a collective) are
+    rebuilt from the full pose table, which is one small txt."""
+    import dataclasses
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from intrinsicnerf_tpu.core.rays import create_rays
+    from intrinsicnerf_tpu.data.replica import (
+        default_replica_split,
+        load_replica,
+        rebuild_semantic_remap,
+    )
+    from intrinsicnerf_tpu.parallel.distributed import (
+        allgather_semantic_classes,
+        is_lead_process,
+        local_train_ids,
+    )
+    from intrinsicnerf_tpu.train.prepare import (
+        prepare_replica_bundle,
+        replica_intrinsics,
+    )
+
+    if cfg.experiment.dataset_type != "replica":
+        raise SystemExit(
+            "multi-host data loading currently supports the replica "
+            f"pipeline (got {cfg.experiment.dataset_type})"
+        )
+    for flag in ("sparse_views", "pixel_denoising", "region_denoising",
+                 "super_resolution", "label_propagation"):
+        if getattr(args, flag):
+            raise SystemExit(
+                f"--{flag} uses host-side randomness that would diverge "
+                "across processes; run degradation experiments single-host"
+            )
+
+    train_ids, test_ids = default_replica_split(args.total_frames,
+                                                args.split_step)
+    local_ids, padded_n = local_train_ids(train_ids)
+    lead = is_lead_process()
+    data = load_replica(
+        cfg.experiment.dataset_dir,
+        local_ids,
+        test_ids if lead else [],
+        img_h=cfg.experiment.height,
+        img_w=cfg.experiment.width,
+    )
+    rebuild_semantic_remap(
+        data, allgather_semantic_classes(data.semantic_classes)
+    )
+    bundle = prepare_replica_bundle(cfg, data)
+
+    # full-pose vis/test ray blocks, identical on every host
+    traj = np.loadtxt(
+        os.path.join(cfg.experiment.dataset_dir, "traj_w_c.txt"),
+        delimiter=" ",
+    ).reshape(-1, 4, 4)
+    f = cfg.test_viz_factor
+    hs = cfg.experiment.height // f
+    ws = cfg.experiment.width // f
+    fxs, fys, cxs, cys = replica_intrinsics(ws, hs)
+    near, far = cfg.depth_range
+    conv = cfg.experiment.convention
+    rays_vis = create_rays(
+        jnp.asarray(traj[train_ids], jnp.float32), hs, ws, fxs, fys, cxs,
+        cys, near, far, convention=conv,
+    )
+    rays_test = create_rays(
+        jnp.asarray(traj[test_ids], jnp.float32), hs, ws, fxs, fys, cxs,
+        cys, near, far, convention=conv,
+    )
+    bundle = dataclasses.replace(
+        bundle,
+        rays_vis=rays_vis,
+        rays_test=rays_test,
+        # train-render metrics need all train images on one host; under
+        # host-local loading they are skipped (eval metrics remain)
+        train_gt={},
+    )
+    print(
+        f"[host {jax.process_index()}/{jax.process_count()}] loaded "
+        f"{len(local_ids)}/{padded_n} train frames (host-local shard)"
+        + (", test GT on this host" if lead else "")
+    )
+    return bundle
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_file", type=str, required=True)
@@ -107,6 +201,12 @@ def main():
         help="shard image pools over all devices (per-device ray batches, "
         "grad pmean); global batch = n_rays * n_devices",
     )
+    # explicit multi-host rig (TPU pods auto-detect; CPU/GPU test rigs
+    # pass these): each process loads ONLY its train-image shard
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="jax.distributed coordinator address host:port")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument(
         "--debug_nans", action="store_true",
         help="enable jax_debug_nans (the reference's autograd "
@@ -132,21 +232,30 @@ def main():
     from intrinsicnerf_tpu.train.trainer import Trainer
 
     cfg = from_yaml(args.config_file)
-    data = build_dataset(cfg, args)
 
-    if cfg.experiment.dataset_type == "scannet":
-        bundle = prepare_scannet_bundle(cfg, data)
-    else:
-        bundle = prepare_replica_bundle(cfg, data)
-
+    # distributed init must precede data loading: under multi-host each
+    # process reads ONLY its train-image shard (local_train_ids)
     mesh = None
+    n_proc = 1
     if args.data_parallel:
         from intrinsicnerf_tpu.parallel.distributed import initialize_distributed
         from intrinsicnerf_tpu.parallel.mesh import make_mesh
 
-        initialize_distributed()
+        _, n_proc = initialize_distributed(
+            args.coordinator, args.num_processes, args.process_id
+        )
         mesh = make_mesh()
-        print(f"data-parallel over {mesh.devices.size} devices")
+        print(f"data-parallel over {mesh.devices.size} devices, "
+              f"{n_proc} host(s)")
+
+    if n_proc > 1:
+        bundle = build_multihost_replica_bundle(cfg, args)
+    else:
+        data = build_dataset(cfg, args)
+        if cfg.experiment.dataset_type == "scannet":
+            bundle = prepare_scannet_bundle(cfg, data)
+        else:
+            bundle = prepare_replica_bundle(cfg, data)
 
     sample_fn = None
     if not cfg.raw.get("render", {}).get("no_batching", True):
