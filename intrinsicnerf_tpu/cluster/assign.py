@@ -83,11 +83,15 @@ def _nearest_anchor_idx(table: ClusterTable, rgb, label):
 
 def dest_color(table: ClusterTable, rgb: jnp.ndarray, label: jnp.ndarray):
     """Map each rgb to its cluster-center color (input color if the
-    point's class has no clusters).  rgb ``[N, 3]``, label ``[N]``."""
+    point's class has no clusters).  rgb ``[N, 3]``, label ``[N]``.
+
+    The winner's color is fetched with one flat ``[N]``-row gather
+    (``colors[label * A + idx]``) instead of materializing the whole
+    per-point class color table ``[N, A, 3]`` like the anchor scores
+    must — half the assignment's gather traffic."""
     idx, label = _nearest_anchor_idx(table, rgb, label)
-    out = jnp.take_along_axis(
-        table.colors[label], idx[:, None, None], axis=1
-    )[:, 0, :]
+    a = table.colors.shape[1]
+    out = jnp.take(table.colors.reshape(-1, 3), label * a + idx, axis=0)
     ok = table.has_cluster[label]
     return jnp.where(ok[:, None], out, rgb)
 
@@ -95,7 +99,8 @@ def dest_color(table: ClusterTable, rgb: jnp.ndarray, label: jnp.ndarray):
 def dest_class(table: ClusterTable, rgb: jnp.ndarray, label: jnp.ndarray):
     """Cluster id per pixel (-1 where the class has no clusters)."""
     idx, label = _nearest_anchor_idx(table, rgb, label)
-    link = jnp.take_along_axis(table.links[label], idx[:, None], axis=1)[:, 0]
+    a = table.links.shape[1]
+    link = jnp.take(table.links.reshape(-1), label * a + idx, axis=0)
     return jnp.where(table.has_cluster[label], link, -1)
 
 

@@ -347,6 +347,11 @@ def _bwd_kernel(in8_ref, g_ref, pe_ref, sm_ref, *refs):
     H = acts[7]
     go = g_ref[...]
 
+    # relu masks compare in fp32: Mosaic rejects bf16 cmpf on v5e, and
+    # the cast is free for fp32 saves / one VPU pass for bf16 saves
+    def pos(x):
+        return x.astype(jnp.float32) > 0
+
     def acc(wkey, bkey, a, gb):
         g[wkey][...] += _mm_tn(a, gb)
         g[bkey][...] += jnp.sum(gb, axis=0, keepdims=True)
@@ -354,22 +359,22 @@ def _bwd_kernel(in8_ref, g_ref, pe_ref, sm_ref, *refs):
     dH = _mm_nt(go, w["w_sig"])
     acc("w_sig", "b_sig", H, go)
 
-    ga1 = _mm_nt(go, w["w_a2"]) * (st["a1"] > 0)
+    ga1 = _mm_nt(go, w["w_a2"]) * pos(st["a1"])
     acc("w_a2", "b_a2", st["a1"], go)
     dH += _mm_nt(ga1, w["w_a1"])
     acc("w_a1", "b_a1", H, ga1)
 
-    gs1 = _mm_nt(go, w["w_s2"]) * (st["s1"] > 0)
+    gs1 = _mm_nt(go, w["w_s2"]) * pos(st["s1"])
     acc("w_s2", "b_s2", st["s1"], go)
     dH += _mm_nt(gs1, w["w_s1"])
     acc("w_s1", "b_s1", H, gs1)
 
-    gm1 = _mm_nt(go, w["w_m2"]) * (st["m1"] > 0)
+    gm1 = _mm_nt(go, w["w_m2"]) * pos(st["m1"])
     acc("w_m2", "b_m2", st["m1"], go)
     dH += _mm_nt(gm1, w["w_m1"])
     acc("w_m1", "b_m1", H, gm1)
 
-    gv = _mm_nt(go, w["w_r"]) * (st["v"] > 0)
+    gv = _mm_nt(go, w["w_r"]) * pos(st["v"])
     acc("w_r", "b_r", st["v"], go)
     gf = _mm_nt(gv, w["wv_f"])
     g["wv_f"][...] += _mm_tn(st["f"], gv)
@@ -378,18 +383,18 @@ def _bwd_kernel(in8_ref, g_ref, pe_ref, sm_ref, *refs):
     dH += _mm_nt(gf, w["w_f"])
     acc("w_f", "b_f", H, gf)
 
-    gh = dH * (H > 0)
+    gh = dH * pos(H)
     acc("w7", "b7", acts[6], gh)
-    gh = _mm_nt(gh, w["w7"]) * (acts[6] > 0)
+    gh = _mm_nt(gh, w["w7"]) * pos(acts[6])
     acc("w6", "b6", acts[5], gh)
-    gh = _mm_nt(gh, w["w6"]) * (acts[5] > 0)
+    gh = _mm_nt(gh, w["w6"]) * pos(acts[5])
     g["w5h"][...] += _mm_tn(acts[4], gh)
     g["w5x"][...] += _mm_tn(feat, gh)
     g["b5"][...] += jnp.sum(gh, axis=0, keepdims=True)
-    gh = _mm_nt(gh, w["w5h"]) * (acts[4] > 0)
+    gh = _mm_nt(gh, w["w5h"]) * pos(acts[4])
     for i in range(4, 0, -1):
         acc(f"w{i}", f"b{i}", acts[i - 1], gh)
-        gh = _mm_nt(gh, w[f"w{i}"]) * (acts[i - 1] > 0)
+        gh = _mm_nt(gh, w[f"w{i}"]) * pos(acts[i - 1])
     g["w0"][...] += _mm_tn(feat, gh)
     g["b0"][...] += jnp.sum(gh, axis=0, keepdims=True)
 

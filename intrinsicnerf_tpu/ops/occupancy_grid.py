@@ -2,25 +2,24 @@
 
 Inspired by NerfAcc-style occupancy grids (PAPERS.md), redesigned for
 TPU static shapes: instead of *skipping* empty-space samples (dynamic
-ray lengths), the same fixed number of coarse samples is *redistributed*
-along each ray by importance-sampling the ray's per-bin occupancy — a
-gather + the existing inverse-CDF resampler, zero dynamic shapes, fully
-shard-local.
+ray lengths), the per-ray ``[near, far]`` interval is *tightened* to the
+occupied depth span (:func:`occupancy_ray_bounds`) — two masked
+reductions over a fixed probe grid, zero dynamic shapes, fully
+shard-local.  All coarse samples then land where matter can be, which
+lets ``n_coarse`` shrink on mostly-empty object scenes — actually
+cutting MLP evals, unlike the earlier redistribute-only design
+(:func:`occupancy_guided_z_vals`, kept for comparison) which paid an
+inverse-CDF redraw per step without saving any evals and lost its A/B.
 
 The grid is a dense ``[G, G, G]`` float EMA of ``relu(sigma)`` over the
 scene AABB, refreshed off the critical path every ``update_every`` steps
 by evaluating the coarse network on jittered voxel centers.  Empty rays
-(all bins unoccupied) gracefully fall back to uniform stratified
-sampling (the blend keeps an ``eps_floor`` of uniform mass everywhere,
-which also preserves exploration of newly-occupied space).
+(no occupied probe) gracefully fall back to the original bounds.
 
-STATUS: experimental opt-in.  A/B on the synthetic cube (64^2, 1500
-steps, v5e): uniform-64-coarse 172 steps/s @ PSNR 28.2; guided-32
-136.9 @ 26.2; uniform-32 227 @ 27.9 — at small coarse counts the
-per-step lookup+redraw outweighs the saved MLP evals and the early
-(noisy-grid) redistribution hurts convergence.  Expected to pay off on
-large mostly-empty object scenes with high sample counts; not wired
-into the default pipeline.
+Wiring: ``use_occ_grid: true`` in a config (``occ_aabb``,
+``occ_resolution``, ``occ_update_every``) — the Trainer owns the grid,
+refreshes it in ``fit`` and passes it to both the train step and the
+eval renders.  A/B numbers live in the README perf notes.
 """
 
 from __future__ import annotations
@@ -82,6 +81,41 @@ def update_grid(
     return grid._replace(density=new)
 
 
+def occupancy_ray_bounds(
+    grid: OccupancyGrid,
+    rays_o: jnp.ndarray,  # [N, 3]
+    rays_d: jnp.ndarray,  # [N, 3]
+    near: jnp.ndarray,  # [N, 1]
+    far: jnp.ndarray,  # [N, 1]
+    n_probe: int = 64,
+    threshold: float = 1e-2,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Tighten per-ray ``[near, far]`` to the occupied depth span.
+
+    Probes ``n_probe`` evenly spaced depths, keeps the min/max occupied
+    depth (padded by one probe bin on each side), and falls back to the
+    original bounds on fully-empty rays.  Two masked reductions — no
+    resampling pass, no gathers beyond the grid lookup itself.  The
+    caller then runs the normal stratified sampler inside the tightened
+    range, concentrating *all* coarse samples where matter can be: on
+    mostly-empty object scenes this lets ``n_coarse`` drop (e.g. 64 ->
+    32) at equal effective resolution — fewer MLP evals, the only cost
+    that matters (redistributing a fixed sample count, the previous
+    design here, paid a full inverse-CDF redraw and saved nothing).
+    """
+    t = jnp.linspace(0.0, 1.0, n_probe, dtype=near.dtype)
+    z = near + (far - near) * t  # [N, P]
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    occ = lookup(grid, pts) > threshold  # [N, P]
+    any_occ = jnp.any(occ, axis=-1, keepdims=True)
+    pad = (far - near) / (n_probe - 1)
+    z_occ_min = jnp.min(jnp.where(occ, z, jnp.inf), axis=-1, keepdims=True)
+    z_occ_max = jnp.max(jnp.where(occ, z, -jnp.inf), axis=-1, keepdims=True)
+    new_near = jnp.where(any_occ, jnp.maximum(z_occ_min - pad, near), near)
+    new_far = jnp.where(any_occ, jnp.minimum(z_occ_max + pad, far), far)
+    return new_near, new_far
+
+
 def occupancy_guided_z_vals(
     grid: OccupancyGrid,
     rays_o: jnp.ndarray,  # [N, 3]
@@ -102,5 +136,5 @@ def occupancy_guided_z_vals(
     occ = (lookup(grid, pts) > threshold).astype(jnp.float32)
     # uniform floor keeps empty rays valid and preserves exploration
     weights = occ + eps_floor
-    z = sample_pdf(z_uniform, weights, z_uniform.shape[-1], key=key, det=det)
-    return jnp.sort(z, axis=-1)
+    # sample_pdf draws sorted uniforms -> already sorted per ray
+    return sample_pdf(z_uniform, weights, z_uniform.shape[-1], key=key, det=det)

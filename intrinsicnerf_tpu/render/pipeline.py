@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from intrinsicnerf_tpu.core.compositing import RenderMaps, composite
 from intrinsicnerf_tpu.core.sampling import (
-    merge_z_vals,
+    merge_sorted_z_vals,
     perturb_z_vals,
     sample_pdf,
     stratified_z_vals,
@@ -73,16 +73,18 @@ def render_rays(
     else:
         k_perturb = k_noise_c = k_pdf = k_noise_f = k_occ = None
 
+    if occ_grid is not None:
+        # tighten [near, far] to the occupied span so every coarse
+        # sample lands where matter can be (lets n_coarse shrink on
+        # mostly-empty scenes); empty rays keep the original bounds
+        from intrinsicnerf_tpu.ops.occupancy_grid import occupancy_ray_bounds
+
+        near, far = occupancy_ray_bounds(occ_grid, rays_o, rays_d, near, far)
+
     z_vals = stratified_z_vals(near, far, rcfg.n_coarse, rcfg.lindisp)
     z_vals = jnp.broadcast_to(z_vals, (*rays.shape[:-1], rcfg.n_coarse))
     if train and rcfg.perturb > 0.0:
         z_vals = perturb_z_vals(z_vals, k_perturb)
-    if occ_grid is not None:
-        from intrinsicnerf_tpu.ops.occupancy_grid import occupancy_guided_z_vals
-
-        z_vals = occupancy_guided_z_vals(
-            occ_grid, rays_o, rays_d, z_vals, k_occ, det=not train
-        )
 
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
     raw_c = eval_points(params_coarse, mlp_cfg, pts, viewdirs)
@@ -107,7 +109,9 @@ def render_rays(
         det=det,
     )
     z_samples = jax.lax.stop_gradient(z_samples)
-    z_all = merge_z_vals(z_vals, z_samples)
+    # both operands are sorted (z_vals by construction incl. perturb;
+    # z_samples because sample_pdf draws sorted uniforms) -> rank merge
+    z_all = merge_sorted_z_vals(z_vals, z_samples)
 
     pts_f = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
     raw_f = eval_points(
@@ -131,6 +135,7 @@ def render_rays_chunked(
     rays: jnp.ndarray,  # [M, 11]; any M (padded up to a chunk multiple)
     rcfg: RenderConfig,
     chunk: int = 4096,
+    occ_grid=None,  # optional ops.occupancy_grid.OccupancyGrid
 ) -> RenderResult:
     """Eval-mode full-image render: ``lax.map`` over fixed-size chunks to
     bound device memory (replaces the reference's Python ``batchify_rays``
@@ -149,7 +154,8 @@ def render_rays_chunked(
 
     def body(r):
         return render_rays(
-            params_coarse, params_fine, mlp_cfg, r, None, rcfg, train=False
+            params_coarse, params_fine, mlp_cfg, r, None, rcfg, train=False,
+            occ_grid=occ_grid,
         )
 
     out = jax.lax.map(body, rays_c)

@@ -16,6 +16,7 @@ from intrinsicnerf_tpu.core.sampling import (
     perturb_z_vals,
     sample_pdf,
     merge_z_vals,
+    merge_sorted_z_vals,
 )
 from intrinsicnerf_tpu.core.compositing import RawOutputs, composite
 
@@ -165,6 +166,45 @@ def test_merge_z_vals_sorted(rng):
     m = np.asarray(merge_z_vals(a, b))
     assert m.shape == (4, 13)
     assert np.all(np.diff(m, axis=-1) >= 0)
+
+
+def test_merge_sorted_z_vals_matches_sort(rng):
+    """Rank merge of two sorted arrays == sort of their concatenation."""
+    a = np.sort(rng.uniform(size=(16, 64)).astype(np.float32), -1)
+    b = np.sort(rng.uniform(size=(16, 128)).astype(np.float32), -1)
+    got = np.asarray(merge_sorted_z_vals(jnp.asarray(a), jnp.asarray(b)))
+    want = np.sort(np.concatenate([a, b], -1), -1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_merge_sorted_z_vals_ties():
+    """Duplicate values across and within inputs still yield a valid
+    permutation (every slot filled exactly once)."""
+    a = jnp.asarray([[0.0, 0.5, 0.5, 1.0]])
+    b = jnp.asarray([[0.5, 0.5, 2.0]])
+    got = np.asarray(merge_sorted_z_vals(a, b))
+    np.testing.assert_array_equal(got, [[0.0, 0.5, 0.5, 0.5, 0.5, 1.0, 2.0]])
+
+
+def test_sample_pdf_random_draws_sorted_and_distributed(rng):
+    """Non-det sample_pdf returns per-ray *sorted* depths (the order
+    statistics draw) whose empirical distribution matches the target
+    pdf: mass in each bin ~ bin weight."""
+    bins = np.linspace(0.0, 1.0, 5, dtype=np.float32)  # 4 intervals
+    weights = np.asarray([[1.0, 0.0, 0.0, 3.0]], np.float32)
+    n = 4096
+    s = np.asarray(
+        sample_pdf(
+            jnp.asarray(bins[None]),
+            jnp.asarray(weights),
+            n,
+            key=jax.random.key(3),
+        )
+    )[0]
+    assert np.all(np.diff(s) >= 0)
+    frac_last = np.mean(s >= 0.75)
+    assert abs(frac_last - 0.75) < 0.03  # weight 3 of 4 -> ~75% of mass
+    assert np.mean((s >= 0.25) & (s < 0.75)) < 0.02  # zero-weight bins
 
 
 # ---------------------------------------------------------------- compositing

@@ -8,6 +8,7 @@ from intrinsicnerf_tpu.ops.occupancy_grid import (
     create_grid,
     lookup,
     occupancy_guided_z_vals,
+    occupancy_ray_bounds,
     update_grid,
 )
 
@@ -49,6 +50,70 @@ def test_guided_sampling_concentrates():
     assert frac_in > 0.7, frac_in
     # bounds respected
     assert zc.min() >= 0.1 - 1e-4 and zc.max() <= 6.0 + 1e-4
+
+
+def test_ray_bounds_tighten_to_occupied_span():
+    grid = create_grid([-2, -2, -2], [2, 2, 2], resolution=32)
+    grid = update_grid(grid, sphere_sigma, jax.random.key(0))
+    n = 16
+    rays_o = jnp.tile(jnp.asarray([[-3.0, 0, 0]]), (n, 1))
+    rays_d = jnp.tile(jnp.asarray([[1.0, 0, 0]]), (n, 1))
+    near = jnp.full((n, 1), 0.1)
+    far = jnp.full((n, 1), 6.0)
+    nn, nf = occupancy_ray_bounds(grid, rays_o, rays_d, near, far)
+    nn, nf = np.asarray(nn), np.asarray(nf)
+    # sphere spans t in [2, 4]; bounds tighten to it (+- one probe bin)
+    pad = (6.0 - 0.1) / 63
+    assert np.all(nn > 2.0 - 2 * pad - 0.15) and np.all(nn < 2.3)
+    assert np.all(nf < 4.0 + 2 * pad + 0.15) and np.all(nf > 3.7)
+    assert np.all(nn < nf)
+
+
+def test_ray_bounds_empty_fallback():
+    grid = create_grid([-2, -2, -2], [2, 2, 2], resolution=16)  # empty
+    n = 4
+    rays_o = jnp.tile(jnp.asarray([[-3.0, 0, 0]]), (n, 1))
+    rays_d = jnp.tile(jnp.asarray([[1.0, 0, 0]]), (n, 1))
+    near = jnp.full((n, 1), 0.1)
+    far = jnp.full((n, 1), 6.0)
+    nn, nf = occupancy_ray_bounds(grid, rays_o, rays_d, near, far)
+    np.testing.assert_allclose(np.asarray(nn), 0.1)
+    np.testing.assert_allclose(np.asarray(nf), 6.0)
+
+
+def test_ray_bounds_in_train_step_runs():
+    """End-to-end: a train step built with use_occ_grid runs and keeps
+    finite losses with a live grid."""
+    import optax
+
+    from intrinsicnerf_tpu.models.mlp import MLPConfig
+    from intrinsicnerf_tpu.render.pipeline import RenderConfig
+    from intrinsicnerf_tpu.train.step import (
+        TrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+    from bench_common import make_synthetic_pools
+    from intrinsicnerf_tpu.cluster import empty_cluster_table
+
+    h = w = 8
+    mcfg = MLPConfig(depth=3, width=16, skips=(1,), n_freqs_pos=2,
+                     n_freqs_dir=2, use_fused_kernel=False)
+    rcfg = RenderConfig(n_coarse=4, n_importance=4)
+    tcfg = TrainConfig(n_rays=4)
+    opt = optax.adam(1e-3)
+    pools = make_synthetic_pools(h, w, 2, 1, with_depth=False)
+    pools = pools._replace(semantic=None, mask_ids=None)
+    grid = create_grid([-2, -2, -2], [2, 2, 2], resolution=8)
+    grid = update_grid(grid, sphere_sigma, jax.random.key(0))
+    state = create_train_state(jax.random.key(0), mcfg, tcfg, opt)
+    step = jax.jit(
+        make_train_step(mcfg, rcfg, tcfg, opt, h, w, use_occ_grid=True)
+    )
+    table = empty_cluster_table(1)
+    state, report = step(state, pools, table, jnp.float32(0.0),
+                         jax.random.key(1), grid)
+    assert np.isfinite(float(report.total))
 
 
 def test_guided_sampling_empty_ray_fallback():

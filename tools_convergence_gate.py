@@ -1,0 +1,228 @@
+"""Gated convergence regression (VERDICT r2 item 7).
+
+Trains the *unmodified scene CLI* (`train_scene.py`, fused Pallas path
+on TPU) on the synthetic Replica cube room for a few thousand steps and
+asserts quality thresholds:
+
+- held-out PSNR / mIoU / total-acc above floors calibrated from the
+  recorded HEAD runs (README: PSNR 24.3 / mIoU 0.885 / acc 0.956 at
+  160x120 x 3k steps),
+- reflectance cluster palettes are sane (per-class dirs, centers in
+  [0,1], non-degenerate count),
+- an ablation arm (`no_intrinsic_loss: true`) shows *higher* rendered-
+  albedo total variation than the main arm — i.e. the intrinsic priors
+  are load-bearing for albedo flatness, not decorative.
+
+Writes CONVERGENCE_r{N}.json at the repo root with every number and
+threshold so the artifact is judgeable at HEAD.
+
+Usage: python tools_convergence_gate.py [--steps 3000] [--out CONVERGENCE_r03.json]
+"""
+
+import argparse
+import csv
+import glob
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+THRESHOLDS = {
+    "psnr": 22.0,
+    "miou": 0.75,
+    "total_acc": 0.90,
+    "albedo_tv_ratio": 1.05,  # ablation TV / main TV must exceed this
+}
+
+
+def run_scene(cfg_path, workdir, tag):
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "train_scene.py"),
+            "--config_file",
+            str(cfg_path),
+            "--total_frames",
+            "60",
+            "--split_step",
+            "5",
+            "--no_progress",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=3600,
+    )
+    sys.stderr.write(out.stdout[-2000:] + "\n")
+    if out.returncode != 0:
+        raise RuntimeError(f"{tag} run failed:\n{out.stderr[-4000:]}")
+    return out.stdout
+
+
+def read_test_metrics(save_dir):
+    """Final Test/* scalars from the trainer's CSV log."""
+    metrics = {}
+    with open(os.path.join(save_dir, "scalars.csv")) as f:
+        for step, name, val in csv.reader(f):
+            if name.startswith("Test/"):
+                metrics[name[5:]] = float(val)  # last write wins
+    return metrics
+
+
+def albedo_tv(save_dir):
+    """Mean spatial gradient magnitude of the rendered test albedos."""
+    import imageio.v2 as imageio
+
+    dirs = sorted(glob.glob(os.path.join(save_dir, "test_render", "step_*")))
+    assert dirs, f"no test renders under {save_dir}"
+    tvs = []
+    for p in sorted(glob.glob(os.path.join(dirs[-1], "albedo_*.png"))):
+        a = imageio.imread(p).astype(np.float32) / 255.0
+        tvs.append(
+            float(
+                np.abs(np.diff(a, axis=0)).mean()
+                + np.abs(np.diff(a, axis=1)).mean()
+            )
+        )
+    assert tvs, f"no albedo renders in {dirs[-1]}"
+    return float(np.mean(tvs))
+
+
+def check_cluster_palette(save_dir):
+    """Reference-format cluster JSON sanity for the last rebuild."""
+    dirs = sorted(glob.glob(os.path.join(save_dir, "train_render", "step_*")))
+    assert dirs, f"no train renders under {save_dir}"
+    cj = os.path.join(dirs[-1], "cluster", "clusters.json")
+    assert os.path.exists(cj), f"missing {cj}"
+    data = json.loads(open(cj).read())
+    n_cls = int(data["class_num"])
+    assert n_cls >= 2, f"degenerate class_num {n_cls}"
+    n_centers = 0
+    for c in range(n_cls):
+        cfg = os.path.join(dirs[-1], "cluster", f"c{c}", "config.json")
+        assert os.path.exists(cfg), f"missing {cfg}"
+        cc = json.loads(open(cfg).read())
+        centers = np.asarray(cc.get("rgb_centers", []), np.float32)
+        if centers.size:
+            assert centers.min() >= -1e-6 and centers.max() <= 1 + 1e-6, (
+                f"class {c} centers outside [0,1]"
+            )
+            n_centers += len(centers)
+    assert n_centers >= n_cls, f"too few cluster centers ({n_centers})"
+    return {"class_num": n_cls, "total_centers": n_centers}
+
+
+def make_cfg(workdir, data_dir, tag, steps, ablation=False):
+    import yaml
+
+    save_dir = os.path.join(workdir, f"logs_{tag}")
+    cfg = {
+        "experiment": {
+            "save_dir": save_dir,
+            "dataset_dir": data_dir,
+            "dataset_type": "replica",
+            "convention": "opencv",
+            "width": 160,
+            "height": 120,
+            "enable_semantic": True,
+            "enable_depth": True,
+        },
+        "model": {
+            "netdepth": 8, "netwidth": 256,
+            "netdepth_fine": 8, "netwidth_fine": 256,
+            "chunk": "1024*32", "netchunk": "1024*32",
+        },
+        "render": {
+            "N_rays": "32*16", "N_samples": 64, "N_importance": 128,
+            "perturb": 1, "use_viewdirs": True, "multires": 10,
+            "multires_views": 4, "raw_noise_std": 1, "test_viz_factor": 1,
+            "depth_range": [0.1, 10.0], "white_bkgd": False,
+        },
+        "train": {
+            "lrate": "5e-4", "lrate_decay": "250e3", "N_iters": steps,
+            "wgt_sem": 0.04, "w_n": 0.01, "w_f": 0.005, "w_i1": 0.1,
+            "w_i2": 0.01, "no_cluster": bool(ablation),
+            "no_semantic_tree": False, "no_intrinsic_loss": bool(ablation),
+        },
+        "logging": {
+            "step_log_print": 1000, "step_log_tfb": 1000,
+            "step_save_ckpt": steps, "step_val": steps,
+            "step_vis_train": max(steps // 2, 1),
+        },
+    }
+    path = os.path.join(workdir, f"cfg_{tag}.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return path, save_dir
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--out", type=str, default="CONVERGENCE_r03.json")
+    parser.add_argument("--workdir", type=str, default=None)
+    args = parser.parse_args()
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="convergence_gate_")
+    data_dir = os.path.join(workdir, "data")
+    subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools_make_synthetic_replica.py"),
+            data_dir, "--frames", "60", "--width", "160", "--height", "120",
+        ],
+        check=True,
+        cwd=REPO,
+        capture_output=True,
+    )
+
+    cfg_main, dir_main = make_cfg(workdir, data_dir, "main", args.steps)
+    stdout_main = run_scene(cfg_main, workdir, "main")
+    metrics = read_test_metrics(dir_main)
+    palette = check_cluster_palette(dir_main)
+    tv_main = albedo_tv(dir_main)
+
+    cfg_abl, dir_abl = make_cfg(
+        workdir, data_dir, "ablation", args.steps, ablation=True
+    )
+    run_scene(cfg_abl, workdir, "ablation")
+    tv_abl = albedo_tv(dir_abl)
+
+    import jax
+
+    dev = jax.devices()[0]
+    fused_active = "fused" in stdout_main.lower()
+    result = {
+        "steps": args.steps,
+        "device": f"{dev.platform}:{dev.device_kind}",
+        "fused_kernel_logged": fused_active,
+        "metrics": {k: round(v, 4) for k, v in metrics.items()},
+        "cluster_palette": palette,
+        "albedo_tv_main": round(tv_main, 5),
+        "albedo_tv_no_intrinsic": round(tv_abl, 5),
+        "albedo_tv_ratio": round(tv_abl / tv_main, 3),
+        "thresholds": THRESHOLDS,
+    }
+    checks = {
+        "psnr": metrics.get("psnr", 0.0) > THRESHOLDS["psnr"],
+        "miou": metrics.get("miou", 0.0) > THRESHOLDS["miou"],
+        "total_acc": metrics.get("total_acc", 0.0) > THRESHOLDS["total_acc"],
+        "albedo_tv_ratio": tv_abl / tv_main > THRESHOLDS["albedo_tv_ratio"],
+    }
+    result["checks"] = checks
+    result["pass"] = all(checks.values())
+    with open(os.path.join(REPO, args.out), "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    print(json.dumps(result, indent=2))
+    assert result["pass"], f"convergence gate FAILED: {checks}"
+    print("CONVERGENCE GATE OK")
+
+
+if __name__ == "__main__":
+    main()

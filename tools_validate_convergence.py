@@ -66,6 +66,10 @@ def main():
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--res", type=int, default=64)
     parser.add_argument("--views", type=int, default=60)
+    # occupancy-grid A/B knobs (ops/occupancy_grid.py)
+    parser.add_argument("--occ", action="store_true")
+    parser.add_argument("--n_coarse", type=int, default=64)
+    parser.add_argument("--n_importance", type=int, default=64)
     args = parser.parse_args()
 
     import jax
@@ -107,8 +111,8 @@ def main():
             use_fused_kernel=on_tpu,
         ),
         render=RenderConfig(
-            n_coarse=64, n_importance=64, perturb=1.0, raw_noise_std=0.0,
-            white_bkgd=True,
+            n_coarse=args.n_coarse, n_importance=args.n_importance,
+            perturb=1.0, raw_noise_std=0.0, white_bkgd=True,
         ),
         train=TrainConfig(n_rays=512, lrate=5e-4, lrate_decay=250e3,
                           n_iters=args.steps, mask_mode="mask"),
@@ -118,6 +122,9 @@ def main():
         ),
         depth_range=(2.0, 6.0),
         precrop_iters=300,
+        use_occ_grid=args.occ,
+        occ_aabb=1.0,  # cube half-extent 0.8
+        occ_update_every=250,
     )
     bundle, _ = prepare_blender_bundle(cfg, data)
     trainer = Trainer(cfg, bundle, sample_fn=make_object_sample_fn(cfg, bundle))
