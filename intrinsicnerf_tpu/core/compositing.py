@@ -64,6 +64,47 @@ def exclusive_transmittance(alpha: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarr
     return jnp.concatenate([jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
 
 
+_EPS = 1e-10
+
+
+@jax.custom_vjp
+def alpha_to_weights(alpha: jnp.ndarray) -> jnp.ndarray:
+    """``w_i = alpha_i * prod_{j<i}(1 - alpha_j + eps)`` with a
+    closed-form VJP.
+
+    Autodiff through the cumprod emits a second scan plus divisions in
+    the backward; the exact gradient is just one reversed exclusive
+    cumsum:  ``d w_k / d alpha_i = -w_k / c_i`` for ``i < k`` (where
+    ``c_i = 1 - alpha_i + eps``) and ``T_i`` on the diagonal, so
+    ``galpha_i = gw_i T_i - (sum_{k>i} gw_k w_k) / c_i``.
+    """
+    return alpha * exclusive_transmittance(alpha)
+
+
+def _a2w_fwd(alpha):
+    t = exclusive_transmittance(alpha)
+    w = alpha * t
+    return w, (alpha, t, w)
+
+
+def _a2w_bwd(res, gw):
+    alpha, t, w = res
+    gww = gw * w
+    # suffix_i = sum_{k>i} gw_k w_k  (exclusive reversed cumsum)
+    suffix = jnp.cumsum(gww[..., ::-1], axis=-1)[..., ::-1] - gww
+    # maximum barrier: XLA may reassociate `1 - alpha + eps` into
+    # `(1 + eps) - alpha` == exactly 0 at alpha == 1 (fp32 rounds
+    # 1+1e-10 back to 1), which turns the division into 0/0 under jit
+    # only.  The suffix carries the same ~c_i factor, so the clamped
+    # quotient stays bounded.
+    c = jnp.maximum(1.0 - alpha + _EPS, _EPS)
+    galpha = gw * t - suffix / c
+    return (galpha,)
+
+
+alpha_to_weights.defvjp(_a2w_fwd, _a2w_bwd)
+
+
 def composite(
     raw: RawOutputs,
     z_vals: jnp.ndarray,
@@ -89,7 +130,7 @@ def composite(
         sigma = sigma + noise
     alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
 
-    weights = alpha * exclusive_transmittance(alpha)
+    weights = alpha_to_weights(alpha)
 
     def comp_vec(x):  # [..., S, C] -> [..., C]
         return jnp.sum(weights[..., None] * x, axis=-2)

@@ -22,10 +22,12 @@ high-frequency angles).  This removes the former host-side feature
 build (~1.6 ms/step) and shrinks the kernel's HBM input traffic 16x
 (the backward remat re-read included).
 
-Output layout (fp32 [P, 128]): ``[0]=sigma, [1:4]=albedo_logit,
+Output layout (``OUT_DTYPE`` [P, 128]): ``[0]=sigma, [1:4]=albedo_logit,
 [4]=shading_logit, [5:8]=residual_logit, [8:8+C]=sem_logits`` —
 sigmoids are applied by the caller (XLA fuses them), keeping the
-kernel linear+relu and the VJP simple.
+kernel linear+relu and the VJP simple.  The packed output crosses HBM
+in bf16 (the logits carry bf16-matmul noise regardless; fp32 bytes
+bought nothing) and is cast back to fp32 inside the consumers.
 
 The custom VJP computes *weight/bias gradients only* — NeRF sample
 positions and view dirs never need grads (coarse z has no param
@@ -52,6 +54,10 @@ from intrinsicnerf_tpu.models.mlp import MLPConfig, Params
 TILE_FWD = 2048  # points per fwd grid step (tuned on v5e: 3.78 ms vs 3.86 @1024)
 TILE_BWD = 1024  # points per bwd grid step (VMEM-bound: keeps all acts)
 SAVE_DTYPE = jnp.float32  # remat activation dtype in the bwd kernel
+# packed-output dtype: the head logits come from bf16 MXU matmuls
+# (fp32 accumulate), so a bf16 output loses ~nothing while halving the
+# kernel's [P, 128] HBM write + the caller's read + the bwd g read
+OUT_DTYPE = jnp.bfloat16
 # the bwd kernel's weights+grads+activations sit right at Mosaic's 16MB
 # default scoped-vmem limit; raise it explicitly (v5e has far more VMEM)
 VMEM_LIMIT_BYTES = 32 * 1024 * 1024
@@ -327,7 +333,7 @@ def _fwd_kernel(in8_ref, pe_ref, sm_ref, *refs):
     w = {k: r[...] for k, r in zip(_PACKED_KEYS, refs[:-1])}
     feat = _compute_feat(in8_ref[...], pe_ref[...], sm_ref[...])
     out, _ = _forward_tile(w, feat)
-    out_ref[...] = out
+    out_ref[...] = out.astype(out_ref.dtype)
 
 
 def _bwd_kernel(in8_ref, g_ref, pe_ref, sm_ref, *refs):
@@ -345,7 +351,9 @@ def _bwd_kernel(in8_ref, g_ref, pe_ref, sm_ref, *refs):
     _, st = _forward_tile(w, feat, save_dtype=SAVE_DTYPE, want_out=False)
     acts = st["acts"]
     H = acts[7]
-    go = g_ref[...]
+    # fp32: the bias grads are plain row sums of go (no fp32-accumulate
+    # matmul to save them) and must not accumulate in bf16
+    go = g_ref[...].astype(jnp.float32)
 
     # relu masks compare in fp32: Mosaic rejects bf16 cmpf on v5e, and
     # the cast is free for fp32 saves / one VPU pass for bf16 saves
@@ -430,7 +438,7 @@ def _run_fwd(packed_tuple, pe_consts, in8):
         out_specs=pl.BlockSpec(
             (TILE_FWD, OUT_W), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, OUT_W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, OUT_W), OUT_DTYPE),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_LIMIT_BYTES
         ),
@@ -488,7 +496,10 @@ def fused_mlp_apply(
     pad = (-n) % max(TILE_FWD, TILE_BWD)
     if pad:
         in8 = jnp.concatenate([in8, jnp.zeros((pad, IN8_W), in8.dtype)])
-    return _fused_packed(packed_tuple, pe_constants(cfg), in8)[:n]
+    out = _fused_packed(packed_tuple, pe_constants(cfg), in8)[:n]
+    # consumers (compositing, losses) stay fp32; the cast fuses into
+    # them, so only the bf16 bytes cross HBM
+    return out.astype(jnp.float32)
 
 
 def build_in8(

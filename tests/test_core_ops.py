@@ -239,6 +239,33 @@ def _mk_raw(rng, n, s, c=0):
     )
 
 
+def test_alpha_to_weights_closed_form_vjp(rng):
+    """The closed-form VJP must match autodiff through the cumprod."""
+    from intrinsicnerf_tpu.core.compositing import (
+        alpha_to_weights,
+        exclusive_transmittance,
+    )
+
+    alpha = jnp.asarray(
+        rng.uniform(0.0, 0.999, size=(6, 24)).astype(np.float32)
+    )
+    gw = jnp.asarray(rng.normal(size=(6, 24)).astype(np.float32))
+
+    def ref(a):
+        return a * exclusive_transmittance(a)
+
+    np.testing.assert_allclose(
+        np.asarray(alpha_to_weights(alpha)), np.asarray(ref(alpha)),
+        rtol=1e-6, atol=1e-7,
+    )
+    _, vjp_got = jax.vjp(alpha_to_weights, alpha)
+    _, vjp_ref = jax.vjp(ref, alpha)
+    np.testing.assert_allclose(
+        np.asarray(vjp_got(gw)[0]), np.asarray(vjp_ref(gw)[0]),
+        rtol=2e-4, atol=1e-5,
+    )
+
+
 def test_composite_matches_reference_formula(rng):
     n, s = 8, 32
     raw = _mk_raw(rng, n, s, c=5)
