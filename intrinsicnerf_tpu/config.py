@@ -88,12 +88,6 @@ class FrameworkConfig:
     precrop_iters: int = 0
     precrop_frac: float = 0.5
     compute_dtype: str = "bfloat16"
-    # occupancy-guided ray bounds (beyond-reference accelerator for
-    # mostly-empty object scenes; ops/occupancy_grid.py)
-    use_occ_grid: bool = False
-    occ_resolution: int = 64
-    occ_update_every: int = 500
-    occ_aabb: float = 1.5  # half-extent of the origin-centered AABB
     raw: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
@@ -200,10 +194,6 @@ def from_yaml(path: str, overrides: Optional[Dict[str, Any]] = None) -> Framewor
         test_viz_factor=int(render.get("test_viz_factor", 1)),
         chunk=int(_arith(model.get("chunk", 32 * 1024))),
         b_f_cap=float(cfg.get("b_f_cap", 1.0)),
-        use_occ_grid=bool(cfg.get("use_occ_grid", False)),
-        occ_resolution=int(cfg.get("occ_resolution", 64)),
-        occ_update_every=int(cfg.get("occ_update_every", 500)),
-        occ_aabb=float(cfg.get("occ_aabb", 1.5)),
         raw=cfg,
     )
 
@@ -302,9 +292,5 @@ def from_object_txt(
         testskip=int(cfg.get("testskip", 8)),
         precrop_iters=int(cfg.get("precrop_iters", 0)),
         precrop_frac=float(cfg.get("precrop_frac", 0.5)),
-        use_occ_grid=bool(cfg.get("use_occ_grid", False)),
-        occ_resolution=int(cfg.get("occ_resolution", 64)),
-        occ_update_every=int(cfg.get("occ_update_every", 500)),
-        occ_aabb=float(cfg.get("occ_aabb", 1.5)),
         raw=cfg,
     )

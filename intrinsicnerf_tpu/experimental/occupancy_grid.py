@@ -6,20 +6,38 @@ ray lengths), the per-ray ``[near, far]`` interval is *tightened* to the
 occupied depth span (:func:`occupancy_ray_bounds`) — two masked
 reductions over a fixed probe grid, zero dynamic shapes, fully
 shard-local.  All coarse samples then land where matter can be, which
-lets ``n_coarse`` shrink on mostly-empty object scenes — actually
-cutting MLP evals, unlike the earlier redistribute-only design
-(:func:`occupancy_guided_z_vals`, kept for comparison) which paid an
-inverse-CDF redraw per step without saving any evals and lost its A/B.
+lets ``n_coarse`` shrink on mostly-empty object scenes.  The earlier
+redistribute-only design (:func:`occupancy_guided_z_vals`, kept for
+comparison) paid an inverse-CDF redraw per step without saving any
+evals and lost its A/B outright.
 
 The grid is a dense ``[G, G, G]`` float EMA of ``relu(sigma)`` over the
 scene AABB, refreshed off the critical path every ``update_every`` steps
 by evaluating the coarse network on jittered voxel centers.  Empty rays
 (no occupied probe) gracefully fall back to the original bounds.
 
-Wiring: ``use_occ_grid: true`` in a config (``occ_aabb``,
-``occ_resolution``, ``occ_update_every``) — the Trainer owns the grid,
-refreshes it in ``fit`` and passes it to both the train step and the
-eval renders.  A/B numbers live in the README perf notes.
+STATUS — experimental, not wired (round-3 A/B, object cube 64^2,
+1500 steps, white bkgd, v5e, n_importance=64):
+
+  ===============  =========  =====
+  arm              steps/s    PSNR
+  ===============  =========  =====
+  uniform-64       46.9       24.07
+  occ-bounds-32    49.6       25.12
+  uniform-32       56.4       25.74
+  ===============  =========  =====
+
+occ-bounds-32 beats the reference's uniform-64 on both axes, but plain
+uniform-32 beats it harder: the *hierarchical importance sampler* (the
+fine pass's inverse-CDF resample from coarse weights) already re-places
+most samples onto the surface, so the grid's per-step probe-lookup
+gather buys less than it costs.  NerfAcc-style grids pay off for
+single-level samplers; with a 2-level sampler the cheaper win is simply
+lowering ``n_coarse``.  Hence: demoted to ``experimental/``, no
+pipeline plumbing.  To experiment, tighten bounds manually before
+calling ``render_rays``::
+
+    near, far = occupancy_ray_bounds(grid, rays_o, rays_d, near, far)
 """
 
 from __future__ import annotations

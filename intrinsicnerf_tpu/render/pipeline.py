@@ -62,24 +62,15 @@ def render_rays(
     key: Optional[jax.Array],
     rcfg: RenderConfig,
     train: bool = False,
-    occ_grid=None,  # optional ops.occupancy_grid.OccupancyGrid
 ) -> RenderResult:
     rays_o, rays_d = rays[..., 0:3], rays[..., 3:6]
     near, far = rays[..., 6:7], rays[..., 7:8]
     viewdirs = rays[..., 8:11] if rays.shape[-1] > 8 else None
 
     if train and key is not None:
-        k_perturb, k_noise_c, k_pdf, k_noise_f, k_occ = jax.random.split(key, 5)
+        k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
     else:
-        k_perturb = k_noise_c = k_pdf = k_noise_f = k_occ = None
-
-    if occ_grid is not None:
-        # tighten [near, far] to the occupied span so every coarse
-        # sample lands where matter can be (lets n_coarse shrink on
-        # mostly-empty scenes); empty rays keep the original bounds
-        from intrinsicnerf_tpu.ops.occupancy_grid import occupancy_ray_bounds
-
-        near, far = occupancy_ray_bounds(occ_grid, rays_o, rays_d, near, far)
+        k_perturb = k_noise_c = k_pdf = k_noise_f = None
 
     z_vals = stratified_z_vals(near, far, rcfg.n_coarse, rcfg.lindisp)
     z_vals = jnp.broadcast_to(z_vals, (*rays.shape[:-1], rcfg.n_coarse))
@@ -135,7 +126,6 @@ def render_rays_chunked(
     rays: jnp.ndarray,  # [M, 11]; any M (padded up to a chunk multiple)
     rcfg: RenderConfig,
     chunk: int = 4096,
-    occ_grid=None,  # optional ops.occupancy_grid.OccupancyGrid
 ) -> RenderResult:
     """Eval-mode full-image render: ``lax.map`` over fixed-size chunks to
     bound device memory (replaces the reference's Python ``batchify_rays``
@@ -154,8 +144,7 @@ def render_rays_chunked(
 
     def body(r):
         return render_rays(
-            params_coarse, params_fine, mlp_cfg, r, None, rcfg, train=False,
-            occ_grid=occ_grid,
+            params_coarse, params_fine, mlp_cfg, r, None, rcfg, train=False
         )
 
     out = jax.lax.map(body, rays_c)

@@ -167,16 +167,12 @@ def make_train_step(
     w: int,
     axis_name: Optional[str] = None,
     sample_fn=None,
-    use_occ_grid: bool = False,
 ):
     """Build the (un-jitted) step function; callers wrap it in jit or
     shard_map.  ``axis_name`` set -> gradients/metrics are psum'd over
     that mesh axis (multi-chip data parallelism).  ``sample_fn(key,
     pools, step) -> RayBatch`` overrides the default pool sampler (the
-    object pipeline uses the pose-based one with precrop).
-    ``use_occ_grid`` -> the step takes a trailing ``occ_grid``
-    (``ops.occupancy_grid.OccupancyGrid``) argument that tightens
-    per-ray sampling bounds to the occupied span."""
+    object pipeline uses the pose-based one with precrop)."""
     grad_mask = None
     if packs_state(mcfg):
         from intrinsicnerf_tpu.models.mlp import init_mlp_params
@@ -246,7 +242,6 @@ def make_train_step(
         table: ClusterTable,
         w_c: jnp.ndarray,  # [] cluster-loss weight (0 disables; annealed)
         key: jax.Array,
-        occ_grid=None,  # only when use_occ_grid (OccupancyGrid pytree)
     ):
         step = state.step
         key = jax.random.fold_in(key, step)
@@ -287,7 +282,6 @@ def make_train_step(
                 k_render,
                 rcfg,
                 train=True,
-                occ_grid=occ_grid if use_occ_grid else None,
             )
             fine = out.fine if out.fine is not None else out.coarse
 

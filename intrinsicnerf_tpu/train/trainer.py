@@ -221,46 +221,10 @@ class Trainer:
                 make_train_step(
                     self.mcfg, cfg.render, cfg.train, self.optimizer, bundle.h,
                     bundle.w, sample_fn=sample_fn,
-                    use_occ_grid=cfg.use_occ_grid,
                 ),
                 donate_argnums=(0,),
             )
         self.key = jax.random.key(seed + 1)
-
-        # occupancy-guided ray bounds (ops/occupancy_grid.py): a density
-        # EMA grid refreshed off the critical path every occ_update_every
-        # steps, used to tighten per-ray [near, far] in train AND eval
-        self.occ_grid = None
-        if cfg.use_occ_grid:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "use_occ_grid is single-device for now (grid would "
-                    "need replication under the mesh)"
-                )
-            from intrinsicnerf_tpu.models.mlp import eval_points
-            from intrinsicnerf_tpu.ops.occupancy_grid import (
-                create_grid,
-                update_grid,
-            )
-
-            a = cfg.occ_aabb
-            self.occ_grid = create_grid([-a] * 3, [a] * 3, cfg.occ_resolution)
-
-            def _occ_update(grid, params_coarse, key):
-                def sigma_fn(pts):
-                    # σ is view-independent; any unit viewdir works for
-                    # the fused kernel's packed input
-                    dirs = jnp.broadcast_to(
-                        jnp.asarray([0.0, 0.0, 1.0], pts.dtype), pts.shape
-                    )
-                    raw = eval_points(
-                        params_coarse, self.mcfg, pts[:, None, :], dirs
-                    )
-                    return raw.sigma[:, 0]
-
-                return update_grid(grid, sigma_fn, key)
-
-            self._occ_update = jax.jit(_occ_update, donate_argnums=(0,))
 
         self.n_table_classes = max(
             1,
@@ -290,17 +254,6 @@ class Trainer:
                 # multi-host: every process needs the full view on host
                 # (cluster mean-shift, metrics, lead-side image writes)
                 replicate_output=jax.process_count() > 1,
-            )
-        elif cfg.use_occ_grid:
-            # occ grid changes across training -> runtime argument
-            self._render_occ = jax.jit(
-                lambda pc, pf, rays, og: render_rays_chunked(
-                    pc, pf, self.mcfg, rays, dataclasses.replace(cfg.render),
-                    chunk=self._eval_chunk(), occ_grid=og,
-                )
-            )
-            self._render = lambda pc, pf, rays: self._render_occ(
-                pc, pf, rays, self.occ_grid
             )
         else:
             self._render = jax.jit(
@@ -417,22 +370,10 @@ class Trainer:
             # no cluster loss until the first rebuild exists
             # (trainer.py:913: `cluster_manager is not None` guard)
             w_c_eff = self.w_c if self.cluster_manager is not None else 0.0
-            if self.occ_grid is not None:
-                if i > 0 and i % self.cfg.occ_update_every == 0:
-                    self.occ_grid = self._occ_update(
-                        self.occ_grid,
-                        self.state.params_coarse,
-                        jax.random.fold_in(self.key, -i),
-                    )
-                self.state, report = self.step_fn(
-                    self.state, self.bundle.pools, self.table,
-                    jnp.float32(w_c_eff), self.key, self.occ_grid,
-                )
-            else:
-                self.state, report = self.step_fn(
-                    self.state, self.bundle.pools, self.table,
-                    jnp.float32(w_c_eff), self.key,
-                )
+            self.state, report = self.step_fn(
+                self.state, self.bundle.pools, self.table, jnp.float32(w_c_eff),
+                self.key,
+            )
             if (i + 1) % log.step_log_tfb == 0:
                 self._log_scalars(i + 1, report, time.time() - t0)
                 t0 = time.time()

@@ -1,10 +1,11 @@
-"""Occupancy-guided sampling tests."""
+"""Tests for the experimental occupancy grid (demoted after losing its
+A/B to plain lower-n_coarse sampling — see the module docstring)."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from intrinsicnerf_tpu.ops.occupancy_grid import (
+from intrinsicnerf_tpu.experimental.occupancy_grid import (
     create_grid,
     lookup,
     occupancy_guided_z_vals,
@@ -81,39 +82,36 @@ def test_ray_bounds_empty_fallback():
     np.testing.assert_allclose(np.asarray(nf), 6.0)
 
 
-def test_ray_bounds_in_train_step_runs():
-    """End-to-end: a train step built with use_occ_grid runs and keeps
-    finite losses with a live grid."""
-    import optax
+def test_ray_bounds_compose_with_render():
+    """Manual composition (the documented usage): tighten bounds, write
+    them back into the ray block, render — finite maps, jittable."""
+    from intrinsicnerf_tpu.models.mlp import MLPConfig, init_mlp_params
+    from intrinsicnerf_tpu.render.pipeline import RenderConfig, render_rays
 
-    from intrinsicnerf_tpu.models.mlp import MLPConfig
-    from intrinsicnerf_tpu.render.pipeline import RenderConfig
-    from intrinsicnerf_tpu.train.step import (
-        TrainConfig,
-        create_train_state,
-        make_train_step,
-    )
-    from bench_common import make_synthetic_pools
-    from intrinsicnerf_tpu.cluster import empty_cluster_table
-
-    h = w = 8
     mcfg = MLPConfig(depth=3, width=16, skips=(1,), n_freqs_pos=2,
                      n_freqs_dir=2, use_fused_kernel=False)
-    rcfg = RenderConfig(n_coarse=4, n_importance=4)
-    tcfg = TrainConfig(n_rays=4)
-    opt = optax.adam(1e-3)
-    pools = make_synthetic_pools(h, w, 2, 1, with_depth=False)
-    pools = pools._replace(semantic=None, mask_ids=None)
-    grid = create_grid([-2, -2, -2], [2, 2, 2], resolution=8)
+    params = init_mlp_params(jax.random.key(0), mcfg)
+    grid = create_grid([-2, -2, -2], [2, 2, 2], resolution=16)
     grid = update_grid(grid, sphere_sigma, jax.random.key(0))
-    state = create_train_state(jax.random.key(0), mcfg, tcfg, opt)
-    step = jax.jit(
-        make_train_step(mcfg, rcfg, tcfg, opt, h, w, use_occ_grid=True)
-    )
-    table = empty_cluster_table(1)
-    state, report = step(state, pools, table, jnp.float32(0.0),
-                         jax.random.key(1), grid)
-    assert np.isfinite(float(report.total))
+
+    n = 8
+    rays_o = jnp.tile(jnp.asarray([[-3.0, 0, 0]]), (n, 1))
+    rays_d = jnp.tile(jnp.asarray([[1.0, 0, 0]]), (n, 1))
+    near = jnp.full((n, 1), 0.1)
+    far = jnp.full((n, 1), 6.0)
+
+    @jax.jit
+    def go(rays_o, rays_d, near, far):
+        nn, nf = occupancy_ray_bounds(grid, rays_o, rays_d, near, far)
+        vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        rays = jnp.concatenate([rays_o, rays_d, nn, nf, vd], axis=-1)
+        return render_rays(
+            params, None, mcfg, rays, None,
+            RenderConfig(n_coarse=8, n_importance=0),
+        ).coarse.rgb
+
+    rgb = np.asarray(go(rays_o, rays_d, near, far))
+    assert rgb.shape == (n, 3) and np.isfinite(rgb).all()
 
 
 def test_guided_sampling_empty_ray_fallback():

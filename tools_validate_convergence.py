@@ -66,8 +66,7 @@ def main():
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--res", type=int, default=64)
     parser.add_argument("--views", type=int, default=60)
-    # occupancy-grid A/B knobs (ops/occupancy_grid.py)
-    parser.add_argument("--occ", action="store_true")
+    # sample-count knobs (used by the experimental/occupancy_grid A/B)
     parser.add_argument("--n_coarse", type=int, default=64)
     parser.add_argument("--n_importance", type=int, default=64)
     args = parser.parse_args()
@@ -122,9 +121,6 @@ def main():
         ),
         depth_range=(2.0, 6.0),
         precrop_iters=300,
-        use_occ_grid=args.occ,
-        occ_aabb=1.0,  # cube half-extent 0.8
-        occ_update_every=250,
     )
     bundle, _ = prepare_blender_bundle(cfg, data)
     trainer = Trainer(cfg, bundle, sample_fn=make_object_sample_fn(cfg, bundle))
