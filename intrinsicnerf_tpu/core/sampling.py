@@ -148,6 +148,17 @@ def merge_sorted_z_vals(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     comparisons — no sort network, no dynamic gathers (replacing the
     full ``jnp.sort`` here is worth ~0.5 ms/step on v5e at 64+128
     samples; see also the in-module note on gather-free lookups).
+
+    PRECONDITION: both inputs must be sorted along the last axis.  If
+    either is unsorted the rank arrays stop being a permutation and the
+    mask-reduce silently corrupts the output (two values summed into one
+    slot, another slot left 0) — there is no error.  The render pipeline
+    satisfies this by construction (``perturb_z_vals`` preserves order;
+    ``sample_pdf``'s det/random paths are monotone in sorted ``u``); a
+    caller passing custom unsorted ``u`` to ``sample_pdf`` must merge
+    with :func:`merge_z_vals` instead.  Debug check:
+
+        assert bool(jnp.all(jnp.diff(a, axis=-1) >= 0))
     """
     na, nb = a.shape[-1], b.shape[-1]
     le = a[..., :, None] <= b[..., None, :]  # [.., A, B]

@@ -56,7 +56,12 @@ TILE_BWD = 1024  # points per bwd grid step (VMEM-bound: keeps all acts)
 SAVE_DTYPE = jnp.float32  # remat activation dtype in the bwd kernel
 # packed-output dtype: the head logits come from bf16 MXU matmuls
 # (fp32 accumulate), so a bf16 output loses ~nothing while halving the
-# kernel's [P, 128] HBM write + the caller's read + the bwd g read
+# kernel's [P, 128] HBM write + the caller's read + the bwd g read.
+# NOTE the backward cotangent is quantized too: the grad of the fp32
+# cast delivers g to _bwd_kernel in bf16, so all weight/bias grads see
+# bf16-rounded upstream gradients (fp32 accumulation inside the kernel
+# notwithstanding).  Gated by the convergence gate (CONVERGENCE_r*.json)
+# at full PSNR thresholds, not just op-level parity.
 OUT_DTYPE = jnp.bfloat16
 # the bwd kernel's weights+grads+activations sit right at Mosaic's 16MB
 # default scoped-vmem limit; raise it explicitly (v5e has far more VMEM)

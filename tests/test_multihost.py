@@ -13,6 +13,9 @@ import sys
 
 import numpy as np
 import jax
+import pytest
+
+pytestmark = pytest.mark.slow
 import jax.numpy as jnp
 import optax
 import pytest

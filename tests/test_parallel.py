@@ -298,3 +298,35 @@ def test_sharded_step_fused_packed_state(mesh):
     # the dir-PE slot rows stay zero too
     w0 = np.asarray(state.params_coarse["w0"])
     assert np.all(w0[mcfg.input_ch:, :] == 0.0)
+
+
+def test_trajectory_8dev_matches_single_device_equal_batch():
+    """20-step 8-device sharded trajectory (fused path, packed state)
+    equals the single-device equal-global-batch emulation exactly (SGD
+    linearity makes the emulation exact — see tests/_trajectory_check)."""
+    from tests._trajectory_check import run_check
+
+    run_check(8, n_steps=20)
+
+
+@pytest.mark.slow
+def test_trajectory_16dev_matches_single_device_equal_batch():
+    """Same check on a 16-device mesh (subprocess: the in-process
+    backend is pinned to 8 virtual devices by conftest)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+    r = subprocess.run(
+        [sys.executable, "-m", "tests._trajectory_check", "16"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "OK n_dev=16" in r.stdout

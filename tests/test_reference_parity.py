@@ -79,7 +79,12 @@ def _ref_env():
             sys.modules.pop(mod, None)
         # drop the reference's packages so later imports can't resolve
         # against the untrusted checkout once the path is removed
-        for mod in [m for m in sys.modules if m == "SSR" or m.startswith("SSR.")]:
+        for mod in [
+            m
+            for m in sys.modules
+            if m in ("SSR", "object_level")
+            or m.startswith(("SSR.", "object_level."))
+        ]:
             sys.modules.pop(mod, None)
         if REF in sys.path:
             sys.path.remove(REF)
@@ -346,3 +351,171 @@ def test_cluster_color_space_and_assignment_allclose():
 
     np.testing.assert_allclose(got_color, want_color, atol=1e-6)
     np.testing.assert_array_equal(got_class, want_class)
+
+
+# ---------------------------------------------------------------- importer
+
+
+def _fake_scene_ckpt(tmp_path, n_classes=C, step=12345):
+    """torch-initialized Semantic_NeRF pair saved in the reference's
+    .ckpt layout (trainer.py:1036-1048)."""
+    torch.manual_seed(5)
+    kw = dict(
+        enable_semantic=True,
+        num_semantic_classes=n_classes,
+        D=8,
+        W=256,
+        input_ch=63,
+        input_ch_views=27,
+        skips=[4],
+        use_viewdirs=True,
+    )
+    coarse, fine = Semantic_NeRF(**kw), Semantic_NeRF(**kw)
+    path = str(tmp_path / f"{step:06d}.ckpt")
+    torch.save(
+        {
+            "global_step": step,
+            "network_coarse_state_dict": coarse.state_dict(),
+            "network_fine_state_dict": fine.state_dict(),
+            "optimizer_state_dict": {},
+        },
+        path,
+    )
+    return path, coarse, fine
+
+
+def test_import_scene_ckpt_render_parity(tmp_path):
+    """Weights imported from a torch-initialized reference checkpoint
+    render identically (VERDICT r3 missing #2: checkpoint interop)."""
+    from intrinsicnerf_tpu.tools.import_ckpt import import_reference_checkpoint
+
+    path, coarse, _fine = _fake_scene_ckpt(tmp_path)
+    cfg = MLPConfig(
+        pos_scalar_factor=10.0,
+        enable_semantic=True,
+        num_semantic_classes=C,
+        compute_dtype=jnp.float32,
+        use_fused_kernel=False,
+    )
+    state, mcfg = import_reference_checkpoint(path, mcfg=cfg)
+    assert int(state.step) == 12345
+    assert mcfg == cfg
+
+    rng = np.random.default_rng(7)
+    rays_o = rng.uniform(-0.5, 0.5, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    rays_d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    z_vals = np.sort(rng.uniform(0.1, 8.0, (N, S)).astype(np.float32), -1)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+
+    with torch.no_grad():
+        ref_maps = _reference_render(coarse, pts, rays_d, z_vals)
+    got = _ours_render(state.params_coarse, cfg, pts, rays_d, z_vals)
+    np.testing.assert_allclose(
+        np.asarray(got.rgb), ref_maps[0].numpy(), atol=2e-5, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.albedo), ref_maps[7].numpy(), atol=2e-5, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.sem_logits), ref_maps[5].numpy(), atol=2e-5, rtol=2e-4
+    )
+
+
+def test_import_packed_and_orbax_roundtrip(tmp_path):
+    """Default import packs for the fused kernel; unpacking returns the
+    exact torch weights, and the Orbax write is auto-resume loadable."""
+    from intrinsicnerf_tpu.tools.import_ckpt import (
+        import_reference_checkpoint,
+        import_to_orbax,
+        state_dict_to_params,
+    )
+    from intrinsicnerf_tpu.ops.fused_mlp import is_packed, unpack_weights
+    from intrinsicnerf_tpu.train.checkpoint import restore_checkpoint
+
+    path, coarse, fine = _fake_scene_ckpt(tmp_path)
+    state, mcfg = import_reference_checkpoint(path)
+    assert mcfg.use_fused_kernel and is_packed(state.params_coarse)
+    want = state_dict_to_params(fine.state_dict())
+    got = unpack_weights(state.params_fine, mcfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(got)
+    ):
+        np.testing.assert_allclose(np.asarray(b), a, atol=1e-6)
+
+    save_dir = str(tmp_path / "exp")
+    step, _ = import_to_orbax(path, save_dir)
+    assert step == 12345
+    restored = restore_checkpoint(
+        os.path.join(save_dir, "checkpoints"), jax.device_get(state)
+    )
+    assert restored is not None and int(restored.step) == 12345
+    np.testing.assert_allclose(
+        np.asarray(restored.params_coarse["w1"]),
+        np.asarray(state.params_coarse["w1"]),
+    )
+
+
+def test_import_object_tar(tmp_path):
+    """Object-level .tar import: test_linear* -> shading head,
+    shading_linear -> residual head (run_nerf_helpers.py:268-279)."""
+    from object_level.run_nerf_helpers import NeRF as RefNeRF
+
+    from intrinsicnerf_tpu.core.compositing import composite
+    from intrinsicnerf_tpu.tools.import_ckpt import import_reference_checkpoint
+
+    torch.manual_seed(9)
+    kw = dict(D=8, W=256, input_ch=63, input_ch_views=27, skips=[4],
+              use_viewdirs=True)
+    model, model_fine = RefNeRF(**kw), RefNeRF(**kw)
+    path = str(tmp_path / "050000.tar")
+    torch.save(
+        {
+            "global_step": 50000,
+            "network_fn_state_dict": model.state_dict(),
+            "network_fine_state_dict": model_fine.state_dict(),
+            "optimizer_state_dict": {},
+        },
+        path,
+    )
+
+    cfg = MLPConfig(
+        pos_scalar_factor=1.0,
+        enable_semantic=False,
+        num_semantic_classes=0,
+        compute_dtype=jnp.float32,
+        use_fused_kernel=False,
+    )
+    state, mcfg = import_reference_checkpoint(
+        path, pos_scalar_factor=1.0, mcfg=cfg
+    )
+    assert int(state.step) == 50000 and state.params_fine is not None
+
+    rng = np.random.default_rng(21)
+    pts = rng.uniform(-1, 1, (N, S, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    dirs = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+
+    embed_pos, _ = get_embedder(10, scalar_factor=1)
+    embed_dir, _ = get_embedder(4, scalar_factor=1)
+    p = _t(pts).reshape(-1, 3)
+    v = _t(dirs)[:, None, :].expand(N, S, 3).reshape(-1, 3)
+    with torch.no_grad():
+        ref_raw = model(torch.cat([embed_pos(p), embed_dir(v)], -1))
+    ref_raw = ref_raw.reshape(N, S, -1).numpy()
+
+    raw = eval_points(
+        state.params_coarse, cfg, jnp.asarray(pts), jnp.asarray(dirs)
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw.rgb), ref_raw[..., 0:3], atol=2e-5, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw.sigma), ref_raw[..., 3], atol=2e-5, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw.shading), ref_raw[..., 7], atol=2e-5, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw.residual), ref_raw[..., 8:11], atol=2e-5, rtol=2e-4
+    )

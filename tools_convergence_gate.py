@@ -196,7 +196,8 @@ def main():
         )
 
     cfg_main, dir_main = make_cfg(workdir, data_dir, "main", args.steps)
-    stdout_main = "" if args.reuse else run_scene(cfg_main, workdir, "main")
+    if not args.reuse:
+        run_scene(cfg_main, workdir, "main")
     metrics = read_test_metrics(dir_main)
     palette = check_cluster_palette(dir_main)
     res_main, tv_main = decomposition_stats(dir_main)
@@ -211,18 +212,18 @@ def main():
     import jax
 
     dev = jax.devices()[0]
-    if args.reuse:
-        # no fresh stdout: recompute the MLP-path decision from the config
-        from intrinsicnerf_tpu.config import from_yaml
-        from intrinsicnerf_tpu.train.step import packs_state
+    # Recompute the MLP-path decision from the config on both paths: a
+    # stdout substring grep would flip on unrelated log lines containing
+    # "fused" (or on wording changes), making the stamped field
+    # unreliable (advisor r3).
+    from intrinsicnerf_tpu.config import from_yaml
+    from intrinsicnerf_tpu.train.step import packs_state
 
-        fused_active = packs_state(from_yaml(cfg_main).mlp)
-    else:
-        fused_active = "fused" in stdout_main.lower()
+    fused_active = packs_state(from_yaml(cfg_main).mlp)
     result = {
         "steps": args.steps,
         "device": f"{dev.platform}:{dev.device_kind}",
-        "fused_kernel_logged": fused_active,
+        "fused_kernel_active": fused_active,
         "metrics": {k: round(v, 4) for k, v in metrics.items()},
         "cluster_palette": palette,
         "residual_mean_main": round(res_main, 5),

@@ -1,9 +1,12 @@
 """A/B harness for step-time experiments (VERDICT r2 item 3).
 
-Times the full bench-config train step under toggled experimental
-optimizations (monkeypatched, not yet default) and prints ms/step per
-variant.  Winners get promoted into the source; this file records the
-methodology.
+Times the full bench-config train step under toggled optimizations
+(monkeypatched) and prints ms/step per variant.  Winners get promoted
+into the source; this file records the methodology and keeps the A/Bs
+reproducible at HEAD: after the round-3 promotions the sorted-draw +
+rank-merge path IS the default, so 'base' now patches the historical
+unsorted-draw + jnp.sort path back in, and 'sortmerge' is a no-op alias
+for the default.
 
 Usage: python tools_perf_ab.py [variant ...]
 Variants: base rbg bf16save tile2048 sortmerge all
@@ -15,49 +18,22 @@ import time
 import numpy as np
 
 
-def sorted_sample_pdf(bins, weights, n_samples, key=None, det=False, u=None):
-    """sample_pdf variant drawing *sorted* uniforms via exponential
-    spacings (order statistics — distributionally identical to sorting
-    iid uniforms), so the fine depths come out sorted and the coarse+fine
-    merge can be a rank merge instead of a full jnp.sort."""
+def unsorted_sample_pdf(bins, weights, n_samples, key=None, det=False, u=None):
+    """Historical-baseline sample_pdf: *unsorted* iid uniform draws (the
+    pre-promotion behavior).  ``sampling.sample_pdf`` itself now draws
+    sorted uniforms via exponential spacings, so reconstructing the
+    pre-sortmerge baseline requires overriding ``u`` here — otherwise
+    the 'base' arm would silently measure the promoted path."""
     import jax
-    import jax.numpy as jnp
     from intrinsicnerf_tpu.core import sampling
 
     if u is None and not det:
         assert key is not None
-        e = -jnp.log1p(
-            -jax.random.uniform(
-                key, (*weights.shape[:-1], n_samples + 1), dtype=bins.dtype
-            )
+        u = jax.random.uniform(
+            key, (*weights.shape[:-1], n_samples), dtype=bins.dtype
         )
-        c = jnp.cumsum(e, axis=-1)
-        u = c[..., :-1] / c[..., -1:]
         return sampling.sample_pdf(bins, weights, n_samples, u=u)
     return sampling.sample_pdf(bins, weights, n_samples, key=key, det=det, u=u)
-
-
-def merge_sorted_z_vals(a, b):
-    """Rank-merge of two per-ray sorted arrays; no sort network.
-
-    rank(a_i) = i + #{j: b_j < a_i}; rank(b_j) = j + #{i: a_i <= b_j}
-    (ties: a wins) — a permutation; scatter by one-hot mask-reduce.
-    """
-    import jax.numpy as jnp
-
-    na, nb = a.shape[-1], b.shape[-1]
-    le = a[..., :, None] <= b[..., None, :]  # [., A, B]
-    ra = jnp.arange(na, dtype=jnp.int32) + jnp.sum(
-        (~le).astype(jnp.int32), axis=-1
-    )
-    rb = jnp.arange(nb, dtype=jnp.int32) + jnp.sum(le.astype(jnp.int32), axis=-2)
-    iota = jnp.arange(na + nb, dtype=jnp.int32)
-    out = jnp.sum(
-        (ra[..., :, None] == iota).astype(a.dtype) * a[..., :, None], axis=-2
-    ) + jnp.sum(
-        (rb[..., :, None] == iota).astype(b.dtype) * b[..., :, None], axis=-2
-    )
-    return out
 
 
 def log_exclusive_transmittance(alpha, eps: float = 1e-10):
@@ -129,11 +105,15 @@ def run_variant(name):
         make_train_step,
     )
 
-    # reset monkeypatches
+    # reset monkeypatches.  NOTE on arm semantics after the round-3
+    # promotions: sorted-uniform draws + rank merge are now the *default*
+    # pipeline, so 'sortmerge' is a no-op and 'base' actively patches the
+    # historical unsorted-draw + jnp.sort path back in so the recorded
+    # A/B stays reproducible at HEAD (advisor r3).
     from intrinsicnerf_tpu.core import sampling, compositing
 
     pipeline.sample_pdf = sampling.sample_pdf
-    pipeline.merge_z_vals = sampling.merge_z_vals
+    pipeline.merge_sorted_z_vals = sampling.merge_sorted_z_vals
     fused_mlp.SAVE_DTYPE = jnp.float32
     fused_mlp.TILE_BWD = 1024
     if not hasattr(compositing, "_orig_excl_trans"):
@@ -145,7 +125,10 @@ def run_variant(name):
     toks = name.split("+")
     for t in toks:
         if t in ("base",):
-            pass
+            # reconstruct the pre-sortmerge baseline (unsorted iid draws
+            # + full-sort merge), since the optimized path is now default
+            pipeline.sample_pdf = unsorted_sample_pdf
+            pipeline.merge_sorted_z_vals = sampling.merge_z_vals
         elif t == "rbg":
             key_impl = "rbg"
         elif t == "bf16save":
@@ -153,8 +136,7 @@ def run_variant(name):
         elif t == "tile2048":
             fused_mlp.TILE_BWD = 2048
         elif t == "sortmerge":
-            pipeline.sample_pdf = sorted_sample_pdf
-            pipeline.merge_z_vals = merge_sorted_z_vals
+            pass  # promoted: this is the default pipeline now
         elif t == "logtrans":
             compositing.exclusive_transmittance = log_exclusive_transmittance
         elif t == "packsampler":
