@@ -42,6 +42,20 @@ def make_synthetic_pools(h, w, n_img, n_classes, with_depth=True, seed=0):
     )
 
 
+def make_multi_step(step_fn, k: int):
+    """K steps per dispatch — the production implementation lives in
+    ``intrinsicnerf_tpu.train.step.make_multi_step`` (the Trainer's
+    ``steps_per_call``); re-exported here for the bench harnesses.
+
+    WHY: host->device dispatch on this backend costs ~0.7 ms and is
+    *serialized* with execution (measured: a trivial jit call takes
+    0.67 ms wall; two fused-kernel invocations inside ONE jit cost
+    0.74 ms less than two separate calls — tools_fwd_probe.py)."""
+    from intrinsicnerf_tpu.train.step import make_multi_step as _impl
+
+    return _impl(step_fn, k)
+
+
 def time_steps(step, state, pools, table, w_c, key, iters, warmup=5):
     """Run ``warmup`` then ``iters`` steps; returns (seconds_total,
     final_state).  Syncs by host readback per the module caveat."""

@@ -176,6 +176,7 @@ def from_yaml(path: str, overrides: Optional[Dict[str, Any]] = None) -> Framewor
         no_semantic_tree=bool(train.get("no_semantic_tree", False)),
         no_intrinsic_loss=bool(train.get("no_intrinsic_loss", False)),
         mask_mode=cfg.get("mask_mode", "label"),
+        steps_per_call=int(train.get("steps_per_call", 1)),
     )
     lcfg = LoggingConfig(
         step_log_print=int(_arith(log.get("step_log_print", 1000))),

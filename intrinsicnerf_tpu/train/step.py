@@ -69,6 +69,12 @@ class TrainConfig:
     no_semantic_tree: bool = False
     no_intrinsic_loss: bool = False
     mask_mode: str = "label"  # "label" (scene) | "mask" (object)
+    # steps executed per host dispatch (lax.scan inside one executable).
+    # Host->device dispatch costs ~0.7 ms *serialized* on the tunneled
+    # backend (measured, tools_fwd_probe.py) — at a ~12 ms device step
+    # that is ~5% of wall time.  Must divide every logging cadence; the
+    # trainer falls back to 1 (with a warning) when it doesn't.
+    steps_per_call: int = 1
 
 
 class TrainState(NamedTuple):
@@ -156,6 +162,26 @@ def create_train_state(
         params_fine=pf,
         opt_state=opt_state,
     )
+
+
+def make_multi_step(step_fn, k: int):
+    """Wrap a train step (same ``(state, pools, table, w_c, key)``
+    signature) into one executable running ``k`` steps via
+    ``lax.scan``.  Per-step RNG still differs (the step folds its key by
+    ``state.step``); the last step's report is returned — cadence-gated
+    logging reads one report per block anyway, and the cadences are
+    required to be multiples of ``k``.  Amortizes the per-dispatch host
+    overhead (see ``TrainConfig.steps_per_call``)."""
+
+    def multi(state, pools, table, w_c, key):
+        def body(st, _):
+            st, rep = step_fn(st, pools, table, w_c, key)
+            return st, rep
+
+        state, reps = jax.lax.scan(body, state, None, length=k)
+        return state, jax.tree_util.tree_map(lambda x: x[-1], reps)
+
+    return multi
 
 
 def make_train_step(

@@ -337,17 +337,47 @@ class Trainer:
 
     # ------------------------------------------------------------- train
 
+    def _steps_per_call(self, n_iters: int, start: int) -> int:
+        """Effective lax.scan block size for the fit loop: the config's
+        ``steps_per_call`` when it divides every logging cadence and the
+        remaining step count (block boundaries must land exactly on
+        log/ckpt/rebuild/eval steps), else 1 with a warning."""
+        k = max(1, int(self.cfg.train.steps_per_call))
+        if k == 1:
+            return 1
+        log = self.cfg.logging
+        cadences = (log.step_log_tfb, log.step_save_ckpt,
+                    log.step_vis_train, log.step_val, n_iters - start)
+        if self.profile_steps > 0:
+            print("steps_per_call: disabled while --profile is active")
+            return 1
+        if any(c % k for c in cadences):
+            print(
+                f"steps_per_call={k} does not divide the logging cadences "
+                f"{cadences}; falling back to 1"
+            )
+            return 1
+        return k
+
     def fit(self, n_iters: Optional[int] = None, progress: bool = True):
         n_iters = n_iters or self.cfg.train.n_iters
         log = self.cfg.logging
         start = self.global_step
         if start == 0:
             self.log_gt_panels()
-        it = range(start, n_iters)
+        spc = self._steps_per_call(n_iters, start)
+        step_fn = self.step_fn
+        if spc > 1:
+            from intrinsicnerf_tpu.train.step import make_multi_step
+
+            step_fn = jax.jit(
+                make_multi_step(self.step_fn, spc), donate_argnums=(0,)
+            )
+        it = range(start, n_iters, spc)
         if progress:
             from tqdm import trange
 
-            it = trange(start, n_iters, initial=start)
+            it = trange(start, n_iters, spc, initial=start)
         # --profile N: trace steps [start+1, start+1+N) — the first step
         # is excluded so compilation doesn't dominate the trace
         prof_start = start + 1 if self.profile_steps > 0 else None
@@ -370,20 +400,23 @@ class Trainer:
             # no cluster loss until the first rebuild exists
             # (trainer.py:913: `cluster_manager is not None` guard)
             w_c_eff = self.w_c if self.cluster_manager is not None else 0.0
-            self.state, report = self.step_fn(
+            self.state, report = step_fn(
                 self.state, self.bundle.pools, self.table, jnp.float32(w_c_eff),
                 self.key,
             )
-            if (i + 1) % log.step_log_tfb == 0:
-                self._log_scalars(i + 1, report, time.time() - t0)
+            # with steps_per_call > 1 the block ends at step i+spc; the
+            # cadence divisibility check guarantees no boundary is skipped
+            done = i + spc
+            if done % log.step_log_tfb == 0:
+                self._log_scalars(done, report, time.time() - t0)
                 t0 = time.time()
-            if (i + 1) % log.step_save_ckpt == 0:
+            if done % log.step_save_ckpt == 0:
                 # async: the chip keeps stepping while orbax serializes
-                self._checkpointer().save(self.state, i + 1)
-            if (i + 1) % log.step_vis_train == 0 and not self.cfg.train.no_cluster:
-                self.rebuild_clusters(i + 1)
-            if (i + 1) % log.step_val == 0:
-                self.evaluate(i + 1)
+                self._checkpointer().save(self.state, done)
+            if done % log.step_vis_train == 0 and not self.cfg.train.no_cluster:
+                self.rebuild_clusters(done)
+            if done % log.step_val == 0:
+                self.evaluate(done)
         if self._profiling:  # --profile N with N past the end of the run
             self._stop_profile()
         self.flush_io()

@@ -519,3 +519,138 @@ def test_import_object_tar(tmp_path):
     np.testing.assert_allclose(
         np.asarray(raw.residual), ref_raw[..., 8:11], atol=2e-5, rtol=2e-4
     )
+
+
+def test_full_step_loss_and_grad_parity(setup):
+    """FULL training-step parity: the complete loss stack (img + CE + 6
+    intrinsic priors, coarse+fine) through the whole hierarchical
+    pipeline (stratified -> coarse -> det inverse-CDF -> merge -> fine)
+    produces the SAME total loss and parameter gradients as the live
+    reference — same weights, same batch, deterministic rendering.
+
+    This is the strongest in-environment trained-parity evidence short
+    of a full A/B run (which PARITY_r04.json records): if this passes,
+    any training-trajectory difference is RNG realization, not math."""
+    import torch.nn as nn
+
+    from SSR.models import model_utils as ref_mu
+    from SSR.models.rays import sample_pdf as ref_sample_pdf
+    from SSR.training.training_utils import compute_intrinsic_loss
+
+    from intrinsicnerf_tpu.core.losses import (
+        compute_intrinsic_losses,
+        img2mse,
+        semantic_cross_entropy,
+    )
+    from intrinsicnerf_tpu.render.pipeline import RenderConfig, render_rays
+
+    cfg, params_c, model_c, *_ = setup
+    # independent fine network
+    params_f = init_mlp_params(jax.random.key(9), cfg)
+    model_f = Semantic_NeRF(
+        enable_semantic=True, num_semantic_classes=C, D=cfg.depth,
+        W=cfg.width, input_ch=cfg.input_ch,
+        input_ch_views=cfg.input_ch_views, skips=list(cfg.skips),
+        use_viewdirs=True,
+    )
+    _copy_params_to_torch(params_f, model_f)
+    model_c.zero_grad()
+
+    n, s, ni = 64, 8, 16
+    rng = np.random.default_rng(5)
+    o = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 0.5
+    vd = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    rays = np.concatenate(
+        [o, d, np.full((n, 1), 0.1, np.float32),
+         np.full((n, 1), 8.0, np.float32), vd], axis=-1,
+    )
+    gt_rgb = rng.uniform(0.02, 0.6, (n, 3)).astype(np.float32)
+    gt_sem = rng.integers(0, C + 1, size=(n,)).astype(np.int64)
+    wgt_sem, w_n, w_f, w_res, w_i = 0.04, 0.01, 0.005, 1.0, 0.1
+
+    # ---- reference side (manual assembly == SSRTrainer.step semantics)
+    embed_pos, _ = get_embedder(10, scalar_factor=10)
+    embed_dir, _ = get_embedder(4, scalar_factor=1)
+
+    def ref_net(model, pts, viewdirs):
+        nn_, ss_, _ = pts.shape
+        p = pts.reshape(-1, 3)
+        v = viewdirs[:, None, :].expand(nn_, ss_, 3).reshape(-1, 3)
+        return model(torch.cat([embed_pos(p), embed_dir(v)], -1)).reshape(
+            nn_, ss_, -1
+        )
+
+    rays_t = _t(rays)
+    ro, rd = rays_t[:, 0:3], rays_t[:, 3:6]
+    vd_t = rays_t[:, 8:11]
+    t_vals = torch.linspace(0.0, 1.0, steps=s)
+    z_vals = (0.1 * (1.0 - t_vals) + 8.0 * t_vals).expand(n, s)
+    raw_c = ref_net(model_c, ro[..., None, :] + rd[..., None, :]
+                    * z_vals[..., :, None], vd_t)
+    out_c = ref_mu.raw2outputs(raw_c, z_vals, rd, 0.0, False,
+                               enable_semantic=True, num_sem_class=C)
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_samp = ref_sample_pdf(z_mid, out_c[3][..., 1:-1], ni, det=True).detach()
+    z_all, _ = torch.sort(torch.cat([z_vals, z_samp], -1), -1)
+    raw_f = ref_net(model_f, ro[..., None, :] + rd[..., None, :]
+                    * z_all[..., :, None], vd_t)
+    out_f = ref_mu.raw2outputs(raw_f, z_all, rd, 0.0, False,
+                               enable_semantic=True, num_sem_class=C)
+
+    ce = nn.CrossEntropyLoss(ignore_index=-1)
+    gt_rgb_t, gt_sem_t = _t(gt_rgb), torch.from_numpy(gt_sem)
+
+    def ref_level(out):
+        rgb, disp, acc, _w, _d, sem, _f, alb, sha, res = out
+        img = torch.mean((rgb - gt_rgb_t) ** 2)
+        ch, rs, sp, ss_, fr, it = compute_intrinsic_loss(
+            alb, sha, res, gt_rgb_t, disp, acc, gt_sem_t.float()
+        )
+        return (img + ce(sem, gt_sem_t - 1) * wgt_sem + ch + rs * w_res
+                + sp * w_n + ss_ + fr * w_f + it * w_i)
+
+    loss_t = ref_level(out_c) + ref_level(out_f)
+    loss_t.backward()
+
+    # ---- our side
+    rcfg = RenderConfig(n_coarse=s, n_importance=ni, perturb=0.0,
+                        raw_noise_std=0.0)
+
+    def loss_fn(p):
+        out = render_rays(p["c"], p["f"], cfg, jnp.asarray(rays), None,
+                          rcfg, train=True)
+
+        def level(maps):
+            img = img2mse(maps.rgb, jnp.asarray(gt_rgb))
+            sem = semantic_cross_entropy(maps.sem_logits, jnp.asarray(gt_sem))
+            intr = compute_intrinsic_losses(
+                maps.albedo, maps.shading, maps.residual, jnp.asarray(gt_rgb),
+                jnp.asarray(gt_sem).astype(jnp.float32), mask_mode="label",
+            )
+            return (img + sem * wgt_sem + intr.chroma + intr.residual * w_res
+                    + intr.reflect_sparsity * w_n + intr.shading_smooth
+                    + intr.far_reflect * w_f + intr.intensity * w_i)
+
+        return level(out.coarse) + level(out.fine)
+
+    lv, grads = jax.value_and_grad(loss_fn)(
+        {"c": params_c, "f": params_f}
+    )
+    np.testing.assert_allclose(float(lv), float(loss_t.detach()), rtol=2e-5)
+
+    pairs = [
+        (model_c.alpha_linear.weight.grad, grads["c"]["sigma"]["kernel"]),
+        (model_f.alpha_linear.weight.grad, grads["f"]["sigma"]["kernel"]),
+        (model_f.albedo_linear2.weight.grad, grads["f"]["albedo2"]["kernel"]),
+        (model_c.pts_linears[0].weight.grad, grads["c"]["trunk"][0]["kernel"]),
+        (model_f.semantic_linear[1].weight.grad, grads["f"]["sem2"]["kernel"]),
+        (model_f.residual_linear.weight.grad, grads["f"]["residual"]["kernel"]),
+        (model_f.views_linears[0].weight.grad, grads["f"]["views"]["kernel"]),
+    ]
+    for ref_g, got_g in pairs:
+        a = ref_g.numpy().T
+        b = np.asarray(got_g)
+        scale = max(np.abs(a).max(), 1e-12)
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-2)

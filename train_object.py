@@ -42,6 +42,12 @@ def main():
         "grad pmean); global batch = N_rand * n_devices; full-image "
         "renders shard their ray axis over the same mesh",
     )
+    parser.add_argument(
+        "--seed", type=int, default=0,
+        help="init/train RNG seed (the reference varies torch seeds per "
+        "run; some (scene, config, seed) triples sit in NeRF's "
+        "render-nothing local minimum - rerun with a different seed)",
+    )
     args = parser.parse_args()
 
     if args.debug_nans:
@@ -117,7 +123,8 @@ def main():
         mesh = make_mesh()
         print(f"data-parallel over {mesh.devices.size} devices")
 
-    with Trainer(cfg, bundle, sample_fn=sample_fn, mesh=mesh) as trainer:
+    with Trainer(cfg, bundle, seed=args.seed, sample_fn=sample_fn,
+                 mesh=mesh) as trainer:
         trainer.profile_steps = args.profile
         trainer.maybe_resume()
 

@@ -203,6 +203,12 @@ def main():
     )
     # explicit multi-host rig (TPU pods auto-detect; CPU/GPU test rigs
     # pass these): each process loads ONLY its train-image shard
+    parser.add_argument(
+        "--seed", type=int, default=0,
+        help="init/train RNG seed (the reference varies torch seeds per "
+        "run; some (scene, config, seed) triples sit in NeRF's "
+        "render-nothing local minimum - rerun with a different seed)",
+    )
     parser.add_argument("--coordinator", type=str, default=None,
                         help="jax.distributed coordinator address host:port")
     parser.add_argument("--num_processes", type=int, default=None)
@@ -270,7 +276,8 @@ def main():
 
         print("batching mode: sampling pixels across all training images")
 
-    with Trainer(cfg, bundle, mesh=mesh, sample_fn=sample_fn) as trainer:
+    with Trainer(cfg, bundle, seed=args.seed, mesh=mesh,
+                 sample_fn=sample_fn) as trainer:
         trainer.profile_steps = args.profile
         trainer.maybe_resume()
         trainer.fit(n_iters=args.n_iters, progress=not args.no_progress)
