@@ -431,6 +431,40 @@ def read_ours_trajectory(wd):
 # --------------------------------------------------------------------- stamp
 
 
+def _imported_ckpt_render(wd, steps):
+    """Interop proof: import the reference's final .ckpt with
+    tools/import_ckpt and render it through OUR pipeline on the same
+    test views — the PSNR should match the reference's own final eval."""
+    import dataclasses
+
+    from intrinsicnerf_tpu.config import from_yaml
+    from intrinsicnerf_tpu.core.metrics import psnr_np
+    from intrinsicnerf_tpu.data.replica import load_replica
+    from intrinsicnerf_tpu.render.pipeline import render_rays_chunked
+    from intrinsicnerf_tpu.tools.import_ckpt import import_reference_checkpoint
+    from intrinsicnerf_tpu.train.prepare import prepare_replica_bundle
+
+    ckpt = os.path.join(wd, "logs_ref", "checkpoints", f"{steps:06d}.ckpt")
+    if not os.path.exists(ckpt):
+        return None
+    cfg = from_yaml(os.path.join(wd, "cfg_ours.yaml"))
+    train_ids = list(range(0, FRAMES, 5))
+    test_ids = [x + 2 for x in train_ids]
+    data = load_replica(os.path.join(wd, "data"), train_ids, test_ids,
+                        img_h=H, img_w=W)
+    bundle = prepare_replica_bundle(cfg, data)
+    state, mcfg = import_reference_checkpoint(ckpt, pos_scalar_factor=10.0)
+    rcfg = dataclasses.replace(cfg.render)
+    psnrs = []
+    for i in range(bundle.rays_test.shape[0]):
+        out = render_rays_chunked(state.params_coarse, state.params_fine,
+                                  mcfg, bundle.rays_test[i], rcfg, chunk=4096)
+        rgb = np.asarray(out.fine.rgb).reshape(
+            bundle.h_scaled, bundle.w_scaled, 3)
+        psnrs.append(psnr_np(rgb, bundle.test_gt["image"][i]))
+    return round(float(np.mean(psnrs)), 3)
+
+
 def phase_stamp(wd, steps, out_name):
     ref = json.loads(open(os.path.join(wd, "ref_trajectory.json")).read())
     ours_traj = read_ours_trajectory(wd)
@@ -478,6 +512,12 @@ def phase_stamp(wd, steps, out_name):
         "checks": checks,
         "pass": all(checks.values()),
     }
+    imported = _imported_ckpt_render(wd, steps)
+    if imported is not None:
+        # reference-trained weights imported via tools/import_ckpt and
+        # rendered by OUR pipeline: should match the reference's own
+        # final eval (checkpoint interop, VERDICT r3 missing #2)
+        result["imported_ref_ckpt_psnr_via_our_renderer"] = imported
     with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(result, f, indent=2)
         f.write("\n")
