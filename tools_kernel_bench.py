@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--tile-fwd", type=int, default=None)
     ap.add_argument("--tile-bwd", type=int, default=None)
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--save-bf16", action="store_true")
+    ap.add_argument("--vmem-mb", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -42,6 +44,10 @@ def main():
         fused_mlp.TILE_FWD = args.tile_fwd
     if args.tile_bwd:
         fused_mlp.TILE_BWD = args.tile_bwd
+    if args.save_bf16:
+        fused_mlp.SAVE_DTYPE = jnp.bfloat16
+    if args.vmem_mb:
+        fused_mlp.VMEM_LIMIT_BYTES = args.vmem_mb * 1024 * 1024
 
     n_classes = 27
     mcfg = MLPConfig(
@@ -58,7 +64,8 @@ def main():
     dev = jax.devices()[0]
     print(f"# device {dev.platform}:{dev.device_kind}  "
           f"TILE_FWD={fused_mlp.TILE_FWD} TILE_BWD={fused_mlp.TILE_BWD} "
-          f"OUT_DTYPE={fused_mlp.OUT_DTYPE.__name__}")
+          f"OUT_DTYPE={fused_mlp.OUT_DTYPE.__name__} "
+          f"SAVE={fused_mlp.SAVE_DTYPE.__name__} VMEM={fused_mlp.VMEM_LIMIT_BYTES>>20}MB")
 
     def mk_in8(n_pts):
         pts = rng.uniform(-2, 2, (n_pts, 1, 3)).astype(np.float32)
