@@ -259,3 +259,49 @@ def test_multi_step_matches_single_dispatch():
             np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5,
             err_msg=f"params{jax.tree_util.keystr(pa)} diverge under scan",
         )
+
+
+def test_trainer_steps_per_call_fit(tmp_path):
+    """Trainer.fit with steps_per_call > 1: strides the loop, lands on
+    logging-cadence boundaries, and falls back to 1 when the block size
+    does not divide the cadences."""
+    from intrinsicnerf_tpu.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        LoggingConfig,
+    )
+    from intrinsicnerf_tpu.train.trainer import SceneBundle, Trainer
+
+    pools = make_pools(n_img=3)
+    bundle = SceneBundle(
+        pools=pools,
+        rays_vis=pools.rays[:1],
+        rays_test=pools.rays[:1],
+        h=H, w=W, h_scaled=H, w_scaled=W,
+        num_valid_classes=4,
+        test_gt={},
+    )
+
+    def make(spc, save_dir):
+        return FrameworkConfig(
+            experiment=ExperimentConfig(save_dir=save_dir, enable_semantic=True),
+            mlp=MLPConfig(depth=3, width=32, skips=(1,), n_freqs_pos=4,
+                          n_freqs_dir=2, enable_semantic=True,
+                          num_semantic_classes=4),
+            render=RenderConfig(n_coarse=6, n_importance=6),
+            train=TrainConfig(n_rays=8, n_iters=8, steps_per_call=spc),
+            logging=LoggingConfig(step_log_tfb=4, step_save_ckpt=10**9,
+                                  step_vis_train=10**9, step_val=10**9),
+        )
+
+    trainer = Trainer(make(4, str(tmp_path / "spc")), bundle)
+    assert trainer._steps_per_call(8, 0) == 4
+    report = trainer.fit(n_iters=8, progress=False)
+    assert int(trainer.state.step) == 8
+    assert np.isfinite(float(report.total))
+    trainer.close()
+
+    # 3 does not divide step_log_tfb=4 -> fallback to 1
+    trainer2 = Trainer(make(3, str(tmp_path / "spc_bad")), bundle)
+    assert trainer2._steps_per_call(8, 0) == 1
+    trainer2.close()
