@@ -43,14 +43,9 @@ def make_synthetic_pools(h, w, n_img, n_classes, with_depth=True, seed=0):
 
 
 def make_multi_step(step_fn, k: int):
-    """K steps per dispatch — the production implementation lives in
-    ``intrinsicnerf_tpu.train.step.make_multi_step`` (the Trainer's
-    ``steps_per_call``); re-exported here for the bench harnesses.
-
-    WHY: host->device dispatch on this backend costs ~0.7 ms and is
-    *serialized* with execution (measured: a trivial jit call takes
-    0.67 ms wall; two fused-kernel invocations inside ONE jit cost
-    0.74 ms less than two separate calls — tools_fwd_probe.py)."""
+    """Re-export of ``intrinsicnerf_tpu.train.step.make_multi_step``
+    (the Trainer's ``steps_per_call``) for the bench harnesses — the
+    contract and the dispatch-cost rationale live there."""
     from intrinsicnerf_tpu.train.step import make_multi_step as _impl
 
     return _impl(step_fn, k)

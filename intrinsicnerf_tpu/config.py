@@ -272,6 +272,7 @@ def from_object_txt(
         no_semantic_tree=True,
         no_intrinsic_loss=bool(cfg.get("no_intrinsic_loss", False)),
         mask_mode="mask",
+        steps_per_call=int(cfg.get("steps_per_call", 1)),
     )
     lcfg = LoggingConfig(
         step_log_print=int(cfg.get("i_print", 100)),

@@ -34,8 +34,10 @@ Adam moments are NOT imported: the reference keeps per-parameter torch
 Adam state keyed by parameter *registration order*, which has no stable
 correspondence once weights are re-packed; moments re-warm within ~100
 steps at the reference LR schedule, which is noise against the 10k-step
-checkpoint cadence.  ``global_step`` IS imported so LR decay and loss
-schedules resume at the right point.
+checkpoint cadence.  ``global_step`` IS imported — into
+``TrainState.step`` AND every optimizer step counter (the exp-decay LR
+schedule reads the opt_state's count), so LR decay and loss schedules
+resume at the right point.
 """
 
 from __future__ import annotations
@@ -177,7 +179,11 @@ def mlp_config_from_arch(
     return MLPConfig(
         depth=arch["depth"],
         width=arch["width"],
-        skips=arch["skips"] or (4,),
+        # pass the inferred skips through verbatim: fabricating (4,) for
+        # a skip-free checkpoint would silently mis-split trunk[5] in
+        # pack_weights (no shape error, corrupted weights).  A non-(4,)
+        # skip set simply fails packs_state and uses the XLA path.
+        skips=arch["skips"],
         n_freqs_pos=arch["n_freqs_pos"],
         n_freqs_dir=arch["n_freqs_dir"],
         pos_scalar_factor=pos_scalar_factor,
@@ -224,7 +230,7 @@ def import_reference_checkpoint(
             "enable_semantic": mcfg.enable_semantic,
             "num_semantic_classes": mcfg.num_semantic_classes,
         }
-        want = dict(arch, skips=arch["skips"] or (4,))
+        want = dict(arch)
         if got != want:
             raise ValueError(
                 f"framework MLPConfig {got} does not match the checkpoint's "
@@ -246,6 +252,24 @@ def import_reference_checkpoint(
     tcfg = train_cfg if train_cfg is not None else TrainConfig()
     optimizer = optax.adam(make_lr_schedule(tcfg.lrate, tcfg.lrate_decay))
     opt_state = optimizer.init({"coarse": pc, "fine": pf})
+    # Fast-forward every optimizer step counter to the imported step:
+    # the exp-decay LR schedule reads the opt_state's count, not
+    # TrainState.step, so a fresh count would resume a 200k-step
+    # checkpoint at the un-decayed base LR (~6x too hot).  Adam's own
+    # count moves too — with zero moments its bias correction briefly
+    # (~50 steps) scales updates ~3x at the (correctly decayed) LR
+    # while the moments re-warm, which is benign; a cold LR schedule is
+    # not.
+    opt_state = jax.tree_util.tree_map_with_path(
+        lambda kp, leaf: (
+            jnp.asarray(step, leaf.dtype)
+            if kp
+            and isinstance(kp[-1], jax.tree_util.GetAttrKey)
+            and kp[-1].name == "count"
+            else leaf
+        ),
+        opt_state,
+    )
     state = TrainState(
         step=jnp.asarray(step, jnp.int32),
         params_coarse=pc,

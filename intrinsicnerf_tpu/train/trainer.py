@@ -377,7 +377,9 @@ class Trainer:
         if progress:
             from tqdm import trange
 
-            it = trange(start, n_iters, spc, initial=start)
+            # tqdm counts BLOCKS (the iterable's unit); initial must be
+            # in the same unit or resume display overshoots
+            it = trange(start, n_iters, spc, initial=start // spc)
         # --profile N: trace steps [start+1, start+1+N) — the first step
         # is excluded so compilation doesn't dominate the trace
         prof_start = start + 1 if self.profile_steps > 0 else None
@@ -417,6 +419,10 @@ class Trainer:
                 self.rebuild_clusters(done)
             if done % log.step_val == 0:
                 self.evaluate(done)
+            # keep global_step at the completed count: with spc > 1 the
+            # loop variable lags by a block, and a stale value would
+            # make a repeated fit() re-train the last block
+            self.global_step = done
         if self._profiling:  # --profile N with N past the end of the run
             self._stop_profile()
         self.flush_io()

@@ -436,6 +436,17 @@ def test_import_packed_and_orbax_roundtrip(tmp_path):
     path, coarse, fine = _fake_scene_ckpt(tmp_path)
     state, mcfg = import_reference_checkpoint(path)
     assert mcfg.use_fused_kernel and is_packed(state.params_coarse)
+    # the exp-decay LR schedule reads the opt_state's count, so the
+    # importer must fast-forward it to global_step (else continued
+    # training resumes at the un-decayed base LR)
+    counts = [
+        int(leaf)
+        for kp, leaf in jax.tree_util.tree_leaves_with_path(state.opt_state)
+        if kp
+        and isinstance(kp[-1], jax.tree_util.GetAttrKey)
+        and kp[-1].name == "count"
+    ]
+    assert counts and all(c == 12345 for c in counts), counts
     want = state_dict_to_params(fine.state_dict())
     got = unpack_weights(state.params_fine, mcfg)
     for a, b in zip(

@@ -66,7 +66,7 @@ def main():
     parser.add_argument("--steps", type=int, default=3000)
     parser.add_argument("--res", type=int, default=64)
     parser.add_argument("--views", type=int, default=60)
-    # sample-count knobs (used by the experimental/occupancy_grid A/B)
+    # sample-count knobs (kept configurable for sampling A/Bs)
     parser.add_argument("--n_coarse", type=int, default=64)
     parser.add_argument("--n_importance", type=int, default=64)
     args = parser.parse_args()
