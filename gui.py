@@ -10,7 +10,10 @@ shading/residual transfer curves (``gui.py:490-513``), scale
 shading/residual globally, and save edited frames / record a video.
 
 All editing logic lives in ``intrinsicnerf_tpu.tools.editing`` (tested
-headless); this file is the Tk view.
+headless); this file is the Tk view.  ``build_app`` takes the tk /
+ImageTk modules as parameters so the widget tree and every callback can
+be smoke-tested without a display (tests/test_gui_smoke.py) — a rename
+in ``EditSession`` breaks a test, not the tool.
 
 Usage:
   python gui.py --img_dir logs/x/train_render/step_200000 \
@@ -21,25 +24,26 @@ import argparse
 import os
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--img_dir", required=True)
-    parser.add_argument("--cluster_config", required=True)
-    parser.add_argument("--frame", type=int, default=0)
-    args = parser.parse_args()
-
-    import tkinter as tk
+def build_app(img_dir, cluster_config, frame=0, tk=None, ImageTk=None):
+    """Construct the full widget tree + callbacks; returns a handle dict
+    (root/session/state + the user-facing callbacks) without entering
+    the mainloop.  ``tk``/``ImageTk`` default to the real modules; tests
+    inject display-free stubs."""
+    if tk is None:
+        import tkinter as tk
+    if ImageTk is None:
+        from PIL import ImageTk
 
     import numpy as np
-    from PIL import Image, ImageTk
+    from PIL import Image
 
     from intrinsicnerf_tpu.tools.editing import EditSession
 
-    session = EditSession(args.img_dir, args.cluster_config)
+    session = EditSession(img_dir, cluster_config)
     frame_ids = session.frame_ids()
-    assert frame_ids, f"no albedo_*.png frames in {args.img_dir}"
+    assert frame_ids, f"no albedo_*.png frames in {img_dir}"
     state = {
-        "frame": args.frame if args.frame in frame_ids else frame_ids[0],
+        "frame": frame if frame in frame_ids else frame_ids[0],
         "selected": None,  # (sem_class, cluster_id)
         "recording": False,
         "frames_out": [],
@@ -201,12 +205,12 @@ def main():
         refresh()
 
     def save_frame():
-        out = os.path.join(args.img_dir, f"edited_{state['frame']:03d}.png")
+        out = os.path.join(img_dir, f"edited_{state['frame']:03d}.png")
         session.save_edit(state["frame"], out)
         sel_var.set(f"saved {out}")
 
     def save_palette():
-        out = os.path.join(args.img_dir, "edited_cluster")
+        out = os.path.join(img_dir, "edited_cluster")
         session.save_palette(out)
         sel_var.set(f"palette -> {out}")
 
@@ -216,7 +220,7 @@ def main():
             if state["frames_out"]:
                 from intrinsicnerf_tpu.tools.video import write_video
 
-                out = os.path.join(args.img_dir, "edit_session.mp4")
+                out = os.path.join(img_dir, "edit_session.mp4")
                 write_video(out, state["frames_out"], fps=10)
                 sel_var.set(f"video -> {out}")
             state["frames_out"] = []
@@ -235,7 +239,38 @@ def main():
     rec_btn.grid(row=11, column=1)
 
     refresh()
-    root.mainloop()
+    return {
+        "root": root,
+        "session": session,
+        "state": state,
+        "sliders": sliders,
+        "sel_var": sel_var,
+        "refresh": refresh,
+        "on_click": on_click,
+        "on_rgb": on_rgb,
+        "on_hls_click": on_hls_click,
+        "on_lightness": on_lightness,
+        "next_frame": next_frame,
+        "save_frame": save_frame,
+        "save_palette": save_palette,
+        "toggle_record": toggle_record,
+        "toggle_shading_transfer": toggle_shading_transfer,
+        "toggle_residual_transfer": toggle_residual_transfer,
+        "on_shading": on_shading,
+        "on_residual": on_residual,
+        "on_gamma": on_gamma,
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--img_dir", required=True)
+    parser.add_argument("--cluster_config", required=True)
+    parser.add_argument("--frame", type=int, default=0)
+    args = parser.parse_args()
+
+    app = build_app(args.img_dir, args.cluster_config, frame=args.frame)
+    app["root"].mainloop()
 
 
 if __name__ == "__main__":

@@ -16,7 +16,9 @@ Usage:
 
 Architecture (depth/width/skips/PE bands/semantic classes) is inferred
 from the checkpoint shapes; ``--config_file`` additionally supplies the
-scene-scale factor and save_dir and cross-checks nothing else.
+scene-scale factor, save_dir, and the compute-path knobs
+(use_fused_kernel / compute_dtype) so the written checkpoint's pytree
+structure matches what a Trainer configured from the same file builds.
 """
 
 import argparse
@@ -53,6 +55,12 @@ def main():
 
     save_dir = args.save_dir
     scalar = args.scalar_factor
+    # compute-path knobs must follow the config the Trainer will use:
+    # a config with use_fused_kernel: false builds UNPACKED state, and a
+    # packed import would fail auto-resume with an Orbax structure
+    # mismatch (advisor r4)
+    compute_dtype = None
+    use_fused = None
     if args.config_file:
         from intrinsicnerf_tpu.config import from_object_txt, from_yaml
 
@@ -64,6 +72,8 @@ def main():
         save_dir = save_dir or cfg.experiment.save_dir
         if scalar is None:
             scalar = cfg.mlp.pos_scalar_factor
+        compute_dtype = cfg.mlp.compute_dtype
+        use_fused = cfg.mlp.use_fused_kernel
     if save_dir is None:
         raise SystemExit("need --save_dir or --config_file")
     if scalar is None:
@@ -71,7 +81,10 @@ def main():
 
     from intrinsicnerf_tpu.tools.import_ckpt import import_to_orbax
 
-    step, mcfg = import_to_orbax(args.ckpt, save_dir, pos_scalar_factor=scalar)
+    step, mcfg = import_to_orbax(
+        args.ckpt, save_dir, pos_scalar_factor=scalar,
+        compute_dtype=compute_dtype, use_fused_kernel=use_fused,
+    )
     print(
         f"imported {args.ckpt} -> {save_dir}/checkpoints @ step {step} "
         f"(D={mcfg.depth} W={mcfg.width} C={mcfg.num_semantic_classes} "

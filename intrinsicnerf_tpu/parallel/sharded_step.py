@@ -42,6 +42,7 @@ def make_sharded_train_step(
     axis: str = "data",
     sample_fn=None,
     donate_state: bool = True,
+    jit_compile: bool = True,
 ):
     """Returns ``step(state, pools, table, w_c, key) -> (state, report)``
     jit-compiled over the mesh.  Pool specs are derived from the
@@ -65,6 +66,12 @@ def make_sharded_train_step(
         out_specs=(rep, rep),
         check_vma=False,
     )
+    if not jit_compile:
+        # un-jitted variant for callers that compose further (the
+        # Trainer's steps_per_call scan wraps this in its own single
+        # outer jit — a nested jit's donate_argnums would be ignored
+        # while tracing and only emit donation warnings)
+        return mapped
     return jax.jit(mapped, donate_argnums=(0,) if donate_state else ())
 
 

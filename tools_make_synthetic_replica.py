@@ -8,7 +8,7 @@ multi-object room:
 - **10 semantic classes**: walls / floor / ceiling + 7 objects
   (two cabinets, a table with four *thin* legs, a thin pillar, two
   spheres, a wall panel).
-- **~48 distinct flat albedo colors** (checkerboard floor, striped
+- **38 distinct flat albedo colors** (of 48 generated) (checkerboard floor, striped
   walls, per-face cabinet colors, hemisphere spheres, checker panel) so
   the reflectance mean-shift has a real palette to recover, per class.
 - **Thin structures** (0.04-halfwidth table legs, 0.09 pillar) that
@@ -72,7 +72,8 @@ def _take(k):
     return np.stack([PAL[next(_next)] for _ in range(k)])
 
 
-# material palettes (deterministic slot assignment; 44 colors used)
+# material palettes (deterministic slot assignment; 38 of the 48
+# generated colors are used: 4+4+4+1+6+6+2+5+2+2+2)
 FLOOR_COLS = _take(4)  # 2x2 checker
 WALL_X_COLS = _take(4)  # x-facing walls: 4 y-stripes
 WALL_Z_COLS = _take(4)  # z-facing walls: 4 y-stripes

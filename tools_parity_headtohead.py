@@ -56,7 +56,15 @@ TEST_VIZ_FACTOR = 2  # eval at 40x30 (CPU render cost)
 # NaN-crashing sklearn's estimate_bandwidth.  White-background
 # compensation (raw2outputs, model_utils.py:109-114) makes empty albedo
 # (1,1,1) — a reference-supported code path, identical on both sides.
-GATE = {"psnr_margin": 0.25, "miou_margin": 0.02}
+GATE = {
+    "psnr_margin": 0.25,
+    "miou_margin": 0.02,
+    # decomposition margins (VERDICT r4 missing #2): held-out albedo
+    # vs the generator's GT albedo (scale-aligned MAE, same alignment
+    # applied to both sides) and the rendered residual magnitude
+    "albedo_mae_margin": 0.02,
+    "residual_mean_margin": 0.02,
+}
 # NOTE on the sample counts: 32+64 rather than a cheaper 16+32 —
 # at 16+32 the "render nothing" local minimum is close enough that the
 # reference itself collapsed into it at batch 128 (it recovers from
@@ -236,6 +244,29 @@ def _ref_eval(trainer, torch):
     }
 
 
+def _ref_decomposition(trainer, torch):
+    """Final-state decomposition renders of the held-out views through
+    the reference's own ``render_rays``: fine albedo / shading /
+    residual as float arrays (``trainer.py:773-796``)."""
+    trainer.training = False
+    trainer.ssr_net_coarse.eval()
+    trainer.ssr_net_fine.eval()
+    h, w = trainer.H_scaled, trainer.W_scaled
+    alb, sha, res = [], [], []
+    with torch.no_grad():
+        for i in range(trainer.num_test):
+            out = trainer.render_rays(trainer.rays_test[i])
+            alb.append(out["albedo_fine"].cpu().numpy().reshape(h, w, 3))
+            sha.append(
+                out["shading_fine"].cpu().numpy().reshape(h, w, -1)[..., 0]
+            )
+            res.append(out["residual_fine"].cpu().numpy().reshape(h, w, 3))
+    trainer.training = True
+    trainer.ssr_net_coarse.train()
+    trainer.ssr_net_fine.train()
+    return np.stack(alb), np.stack(sha), np.stack(res)
+
+
 def phase_ref(wd, steps, eval_every):
     """Train the unmodified reference SSRTrainer on CPU."""
     import time
@@ -350,6 +381,14 @@ def phase_ref(wd, steps, eval_every):
             m["wall_s"] = round(time.time() - tic, 1)
             traj.append(m)
             print(f"[ref] step {i}: {m}", flush=True)
+    # final decomposition state through the reference's own renderer
+    # (VERDICT r4 missing #2: the gate must compare the thing
+    # IntrinsicNeRF exists for, not just PSNR/mIoU)
+    alb, sha, res = _ref_decomposition(trainer, torch)
+    np.savez_compressed(
+        os.path.join(wd, "ref_decomp.npz"),
+        albedo=alb, shading=sha, residual=res,
+    )
     with open(os.path.join(wd, "ref_trajectory.json"), "w") as f:
         json.dump(
             {
@@ -366,11 +405,11 @@ def phase_ref(wd, steps, eval_every):
 # ------------------------------------------------------------------ our side
 
 
-def phase_ours(wd, steps, eval_every):
+def phase_ours(wd, steps, eval_every, seed=0):
     import yaml
 
     data_dir = os.path.join(wd, "data")
-    save_dir = os.path.join(wd, "logs_ours")
+    save_dir = os.path.join(wd, f"logs_ours_s{seed}")
     cfg = {
         "experiment": {
             "save_dir": save_dir, "dataset_dir": data_dir,
@@ -409,6 +448,7 @@ def phase_ours(wd, steps, eval_every):
             sys.executable, os.path.join(REPO, "train_scene.py"),
             "--config_file", cfg_path,
             "--total_frames", str(FRAMES), "--split_step", "5",
+            "--seed", str(seed),
             "--no_progress",
         ],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
@@ -418,14 +458,161 @@ def phase_ours(wd, steps, eval_every):
         raise RuntimeError(f"ours run failed:\n{out.stderr[-4000:]}")
 
 
-def read_ours_trajectory(wd):
-    save_dir = os.path.join(wd, "logs_ours")
+def read_ours_trajectory(wd, seed=0):
+    save_dir = os.path.join(wd, f"logs_ours_s{seed}")
     per_step = {}
     with open(os.path.join(save_dir, "tfb_logs", "scalars.csv")) as f:
         for step, name, val in csv.reader(f):
             if name in ("Test/psnr", "Test/miou", "Test/total_acc"):
                 per_step.setdefault(int(step), {})[name[5:]] = float(val)
     return [dict(step=s, **m) for s, m in sorted(per_step.items())]
+
+
+# ------------------------------------------------- decomposition metrics
+
+
+def _map_drgb(rgb):
+    """Reference d_rgb color space (cluster.py:316-330) in numpy."""
+    s = np.maximum(rgb.sum(-1), 1e-6)
+    return np.stack([s / 3.0 * 0.5, rgb[..., 1] / s, rgb[..., 2] / s], -1)
+
+
+def _load_gt_albedo_scaled(wd):
+    """Generator GT albedo for the held-out views at eval resolution."""
+    import cv2
+    import imageio.v2 as imageio
+
+    hs, ws = H // TEST_VIZ_FACTOR, W // TEST_VIZ_FACTOR
+    test_ids = [x + 2 for x in range(0, FRAMES, 5)]
+    out = []
+    for i in test_ids:
+        a = (
+            imageio.imread(
+                os.path.join(wd, "data", "gt_albedo", f"albedo_{i}.png")
+            ).astype(np.float32)
+            / 255.0
+        )
+        out.append(cv2.resize(a, (ws, hs), interpolation=cv2.INTER_LINEAR))
+    return np.stack(out)
+
+
+def _albedo_mae(albedo, gt):
+    """Scale-aligned MAE (intrinsic decomposition is defined up to a
+    global albedo<->shading scale) — identical alignment for both sides."""
+    maes = []
+    for got, g in zip(albedo, gt):
+        m = g.mean(-1) > 0.05
+        scale = float(
+            np.median(g[m].sum(-1) / np.maximum(got[m].sum(-1), 1e-6))
+        )
+        scale = float(np.clip(scale, 0.25, 4.0))
+        maes.append(float(np.abs(got * scale - g)[m].mean()))
+    return float(np.mean(maes))
+
+
+def _palette_stats(cluster_dir, wd):
+    """Center count + d_rgb recall of the GT palette, from the
+    reference-format cluster JSON both implementations write."""
+    import imageio.v2 as imageio
+
+    data = json.loads(
+        open(os.path.join(cluster_dir, "clusters.json")).read()
+    )
+    centers = []
+    for c in range(int(data["class_num"])):
+        p = os.path.join(cluster_dir, f"c{c}", "config.json")
+        if os.path.exists(p):
+            arr = np.asarray(
+                json.loads(open(p).read()).get("rgb_centers", []), np.float32
+            )
+            if arr.size:
+                centers.append(arr.reshape(-1, 3))
+    cen = np.concatenate(centers) if centers else np.zeros((0, 3), np.float32)
+
+    palette = np.asarray(
+        json.loads(
+            open(os.path.join(wd, "data", "albedo_colors.json")).read()
+        )["albedos"],
+        np.float32,
+    )
+    train_ids = list(range(0, FRAMES, 5))
+    counts = np.zeros(len(palette), np.int64)
+    total_px = 0
+    for i in train_ids[:: max(len(train_ids) // 8, 1)]:
+        a = (
+            imageio.imread(
+                os.path.join(wd, "data", "gt_albedo", f"albedo_{i}.png")
+            ).astype(np.float32)
+            / 255.0
+        ).reshape(-1, 3)
+        total_px += len(a)
+        d2 = ((a[:, None, :] - palette[None, :, :]) ** 2).sum(-1)
+        nearest = np.argmin(d2, axis=1)
+        ok = d2[np.arange(len(a)), nearest] < 1e-3
+        np.add.at(counts, nearest[ok], 1)
+    observed = palette[counts / max(total_px, 1) >= 0.002]
+    if len(cen) == 0 or len(observed) == 0:
+        return {"total_centers": int(len(cen)), "palette_recall": 0.0,
+                "observed_gt_colors": int(len(observed))}
+    dist = np.sqrt(
+        ((_map_drgb(observed)[:, None, :] - _map_drgb(cen)[None, :, :]) ** 2)
+        .sum(-1)
+    ).min(axis=1)
+    return {
+        "total_centers": int(len(cen)),
+        "observed_gt_colors": int(len(observed)),
+        "palette_recall": round(float((dist < 0.08).mean()), 4),
+        "recall_mean_dist": round(float(dist.mean()), 4),
+    }
+
+
+def _ours_final_decomposition(wd, seed, steps):
+    """Render the held-out views' decomposition from OUR final
+    checkpoint in float (no PNG quantization — the reference side is
+    measured from in-memory arrays, so ours must be too)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from intrinsicnerf_tpu.config import from_yaml
+    from intrinsicnerf_tpu.data.replica import load_replica
+    from intrinsicnerf_tpu.render.pipeline import render_rays_chunked
+    from intrinsicnerf_tpu.train.checkpoint import restore_checkpoint
+    from intrinsicnerf_tpu.train.prepare import prepare_replica_bundle
+    from intrinsicnerf_tpu.train.schedules import make_lr_schedule
+    from intrinsicnerf_tpu.train.step import create_train_state
+
+    import jax
+    import optax
+
+    cfg = from_yaml(os.path.join(wd, "cfg_ours.yaml"))
+    train_ids = list(range(0, FRAMES, 5))
+    test_ids = [x + 2 for x in train_ids]
+    data = load_replica(
+        os.path.join(wd, "data"), train_ids, test_ids, img_h=H, img_w=W
+    )
+    bundle = prepare_replica_bundle(cfg, data)
+    mcfg = dataclasses.replace(
+        cfg.mlp, num_semantic_classes=bundle.num_valid_classes
+    )
+    opt = optax.adam(make_lr_schedule(cfg.train.lrate, cfg.train.lrate_decay))
+    template = create_train_state(jax.random.key(0), mcfg, cfg.train, opt)
+    state = restore_checkpoint(
+        os.path.join(wd, f"logs_ours_s{seed}", "checkpoints"), template
+    )
+    assert state is not None, f"no checkpoint for seed {seed}"
+    assert int(state.step) == steps, (int(state.step), steps)
+    hs, ws = bundle.h_scaled, bundle.w_scaled
+    alb, sha, res = [], [], []
+    for i in range(bundle.rays_test.shape[0]):
+        out = render_rays_chunked(
+            state.params_coarse, state.params_fine, mcfg,
+            bundle.rays_test[i], dataclasses.replace(cfg.render), chunk=4096,
+        )
+        alb.append(np.asarray(out.fine.albedo, np.float32).reshape(hs, ws, 3))
+        sha.append(np.asarray(out.fine.shading, np.float32).reshape(hs, ws))
+        res.append(np.asarray(out.fine.residual, np.float32).reshape(hs, ws, 3))
+    return np.stack(alb), np.stack(sha), np.stack(res)
 
 
 # --------------------------------------------------------------------- stamp
@@ -465,22 +652,76 @@ def _imported_ckpt_render(wd, steps):
     return round(float(np.mean(psnrs)), 3)
 
 
-def phase_stamp(wd, steps, out_name):
+def phase_stamp(wd, steps, out_name, seeds):
     ref = json.loads(open(os.path.join(wd, "ref_trajectory.json")).read())
-    ours_traj = read_ours_trajectory(wd)
     ref_traj = ref["trajectory"]
     ref_final = ref_traj[-1]
-    ours_final = ours_traj[-1]
-    assert ours_final["step"] == ref_final["step"], (
-        f"step mismatch: ours {ours_final['step']} vs ref {ref_final['step']}"
+
+    # multi-seed ours side (VERDICT r4 weak #2): the reference side is
+    # n=1 (it costs ~85 min of 2-core CPU per run); ours re-runs at
+    # several seeds for ~2 min each, so the stamp carries a spread
+    per_seed = {}
+    for s in seeds:
+        traj = read_ours_trajectory(wd, s)
+        assert traj[-1]["step"] == ref_final["step"], (
+            f"step mismatch: seed {s} {traj[-1]['step']} vs ref "
+            f"{ref_final['step']}"
+        )
+        per_seed[s] = traj
+    finals = [per_seed[s][-1] for s in seeds]
+    agg = {
+        k: {
+            "mean": round(float(np.mean([f[k] for f in finals])), 4),
+            "min": round(float(min(f[k] for f in finals)), 4),
+            "max": round(float(max(f[k] for f in finals)), 4),
+        }
+        for k in ("psnr", "miou", "total_acc")
+    }
+
+    # decomposition head-to-head: both sides' fine albedo vs GT (scale-
+    # aligned MAE) and mean |residual|, from in-memory float renders
+    rd = np.load(os.path.join(wd, "ref_decomp.npz"))
+    gt_albedo = _load_gt_albedo_scaled(wd)
+    ref_mae = _albedo_mae(rd["albedo"], gt_albedo)
+    ref_res = float(np.abs(rd["residual"]).mean())
+    ours_maes, ours_res = [], []
+    for s in seeds:
+        alb, sha, res = _ours_final_decomposition(wd, s, steps)
+        ours_maes.append(_albedo_mae(alb, gt_albedo))
+        ours_res.append(float(np.abs(res).mean()))
+    step_dir = f"step_{steps:06d}"
+    ref_palette = _palette_stats(
+        os.path.join(wd, "logs_ref", "train_render", step_dir, "cluster"), wd
     )
+    ours_palette = _palette_stats(
+        os.path.join(
+            wd, f"logs_ours_s{seeds[0]}", "train_render", step_dir, "cluster"
+        ),
+        wd,
+    )
+    decomposition = {
+        "ref_albedo_mae": round(ref_mae, 5),
+        "ours_albedo_mae_mean": round(float(np.mean(ours_maes)), 5),
+        "ours_albedo_mae_per_seed": [round(m, 5) for m in ours_maes],
+        "ref_residual_mean": round(ref_res, 5),
+        "ours_residual_mean_mean": round(float(np.mean(ours_res)), 5),
+        "ours_residual_mean_per_seed": [round(r, 5) for r in ours_res],
+        "ref_palette": ref_palette,
+        "ours_palette": ours_palette,
+    }
 
     import jax
 
     dev = jax.devices()[0]
     checks = {
-        "psnr": ours_final["psnr"] >= ref_final["psnr"] - GATE["psnr_margin"],
-        "miou": ours_final["miou"] >= ref_final["miou"] - GATE["miou_margin"],
+        "psnr": agg["psnr"]["mean"]
+        >= ref_final["psnr"] - GATE["psnr_margin"],
+        "miou": agg["miou"]["mean"]
+        >= ref_final["miou"] - GATE["miou_margin"],
+        "albedo_mae": float(np.mean(ours_maes))
+        <= ref_mae + GATE["albedo_mae_margin"],
+        "residual_mean": float(np.mean(ours_res))
+        <= ref_res + GATE["residual_mean_margin"],
     }
     result = {
         "config": {
@@ -494,20 +735,26 @@ def phase_stamp(wd, steps, out_name):
             "device": f"cpu ({ref.get('torch_threads')} threads)",
             "trajectory": ref_traj,
             "wall_s": ref.get("wall_s"),
+            "n_runs": 1,
         },
         "ours": {
             "impl": "train_scene.py (fused Pallas path)",
             "device": f"{dev.platform}:{dev.device_kind}",
-            "trajectory": ours_traj,
+            "seeds": list(seeds),
+            "trajectories": {str(s): per_seed[s] for s in seeds},
+            "final_spread": agg,
         },
         "final": {
             "ref_psnr": round(ref_final["psnr"], 3),
-            "ours_psnr": round(ours_final["psnr"], 3),
+            "ours_psnr_mean": agg["psnr"]["mean"],
+            "ours_psnr_range": [agg["psnr"]["min"], agg["psnr"]["max"]],
             "ref_miou": round(ref_final["miou"], 4),
-            "ours_miou": round(ours_final["miou"], 4),
+            "ours_miou_mean": agg["miou"]["mean"],
+            "ours_miou_range": [agg["miou"]["min"], agg["miou"]["max"]],
             "ref_total_acc": round(ref_final["total_acc"], 4),
-            "ours_total_acc": round(ours_final["total_acc"], 4),
+            "ours_total_acc_mean": agg["total_acc"]["mean"],
         },
+        "decomposition": decomposition,
         "gate_margins": GATE,
         "checks": checks,
         "pass": all(checks.values()),
@@ -522,6 +769,7 @@ def phase_stamp(wd, steps, out_name):
         json.dump(result, f, indent=2)
         f.write("\n")
     print(json.dumps(result["final"], indent=2))
+    print(json.dumps(decomposition, indent=2))
     assert result["pass"], f"parity gate FAILED: {checks}"
     print("PARITY GATE OK")
 
@@ -534,18 +782,22 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--workdir", default=None)
-    ap.add_argument("--out", default="PARITY_r04.json")
+    ap.add_argument("--out", default="PARITY_r05.json")
+    ap.add_argument("--seeds", default="0,1,2",
+                    help="comma-separated seeds for the ours side")
     args = ap.parse_args()
     wd = workdir_of(args)
+    seeds = [int(s) for s in args.seeds.split(",")]
 
     if args.phase in ("all", "data"):
         phase_data(wd)
     if args.phase in ("all", "ref"):
         phase_ref(wd, args.steps, args.eval_every)
     if args.phase in ("all", "ours"):
-        phase_ours(wd, args.steps, args.eval_every)
+        for s in seeds:
+            phase_ours(wd, args.steps, args.eval_every, seed=s)
     if args.phase in ("all", "stamp"):
-        phase_stamp(wd, args.steps, args.out)
+        phase_stamp(wd, args.steps, args.out, seeds)
 
 
 if __name__ == "__main__":
