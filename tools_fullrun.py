@@ -391,7 +391,15 @@ def phase_stamp(workdir, steps, out_name, smoke):
         ) if steps > 100_000 else True,
         "rebuilds_completed": len(rebuild_dirs)
         >= (20 if steps >= 200_000 else max(len(rebuild_dirs), 1)),
-        "palette_saved_every_rebuild": len(palettes) == len(rebuild_dirs),
+        # the SIGKILL may land mid-rebuild, leaving exactly one dir
+        # without its palette (the resume then restores the previous
+        # complete one — that's the recovery being proven); the FINAL
+        # rebuild must always have one
+        "palettes_complete": len(palettes) >= len(rebuild_dirs) - 1
+        and bool(rebuild_dirs)
+        and os.path.exists(
+            os.path.join(rebuild_dirs[-1], "cluster", "clusters.json")
+        ),
         "steps_per_call_8_both_segments": sorted(
             set(spc.values())
         ) == [8.0],

@@ -381,14 +381,6 @@ def phase_ref(wd, steps, eval_every):
             m["wall_s"] = round(time.time() - tic, 1)
             traj.append(m)
             print(f"[ref] step {i}: {m}", flush=True)
-    # final decomposition state through the reference's own renderer
-    # (VERDICT r4 missing #2: the gate must compare the thing
-    # IntrinsicNeRF exists for, not just PSNR/mIoU)
-    alb, sha, res = _ref_decomposition(trainer, torch)
-    np.savez_compressed(
-        os.path.join(wd, "ref_decomp.npz"),
-        albedo=alb, shading=sha, residual=res,
-    )
     with open(os.path.join(wd, "ref_trajectory.json"), "w") as f:
         json.dump(
             {
@@ -399,7 +391,17 @@ def phase_ref(wd, steps, eval_every):
             },
             f, indent=2,
         )
-    print(f"[ref] done in {time.time() - tic:.0f}s")
+    # final decomposition state through the reference's own renderer
+    # (VERDICT r4 missing #2: the gate must compare the thing
+    # IntrinsicNeRF exists for, not just PSNR/mIoU).  After the
+    # trajectory write so a failure here cannot lose the training run.
+    alb, sha, res = _ref_decomposition(trainer, torch)
+    np.savez_compressed(
+        os.path.join(wd, "ref_decomp.npz"),
+        albedo=alb, shading=sha, residual=res,
+    )
+    print(f"[ref] done in {time.time() - tic:.0f}s "
+          f"(decomp: albedo {alb.shape}, |res| {np.abs(res).mean():.4f})")
 
 
 # ------------------------------------------------------------------ our side
