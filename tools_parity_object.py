@@ -181,17 +181,32 @@ def phase_ref(wd, steps):
     torch.manual_seed(20220414)
     np.random.seed(20220414)
     sys.argv = _ref_argv(wd)
-    tic = time.time()
-    run_nerf.train()
-    wall = time.time() - tic
-    print(f"[ref-obj] trained {steps} steps in {wall:.0f}s")
+    # the final save at loop index i == steps is named '{i:06d}.tar'
+    # (run_nerf.py:1035-1043); if it exists the training already ran to
+    # completion (e.g. a previous invocation died in the eval below) and
+    # create_nerf()'s auto-resume makes retraining both wasteful and
+    # wrong (it would train `steps` further), so skip straight to eval
+    final_tar = os.path.join(wd, "logs_ref", "obj", f"{steps:06d}.tar")
+    if os.path.exists(final_tar):
+        print(f"[ref-obj] {final_tar} exists; skipping training")
+        wall = None  # trained by a previous invocation; see its log
+    else:
+        tic = time.time()
+        run_nerf.train()
+        wall = time.time() - tic
+        print(f"[ref-obj] trained {steps} steps in {wall:.0f}s")
 
     # post-train eval through the reference's own stack: a fresh
-    # create_nerf() auto-reloads the newest .tar (run_nerf.py:313-330)
+    # create_nerf() auto-reloads the newest .tar (run_nerf.py:313-330).
+    # The reference saves 'global_step' BEFORE the end-of-loop increment
+    # (run_nerf.py:1038 vs :1125) and reloads it without +1 (the '#+1'
+    # at :324 is commented out upstream), so the checkpoint written at
+    # loop index i == steps records global_step == steps-1 even though
+    # its weights are post-step-`steps`; accept steps-1.
     parser = run_nerf.config_parser()
     args = parser.parse_args(sys.argv[1:])
     _, render_kwargs_test, start, _, _ = run_nerf.create_nerf(args)
-    assert start >= steps, f"ckpt reload got step {start}, want {steps}"
+    assert start >= steps - 1, f"ckpt reload got step {start}, want {steps}"
     render_kwargs_test.update({"near": 2.0, "far": 6.0})
 
     from load_blender import load_blender_data
@@ -224,7 +239,7 @@ def phase_ref(wd, steps):
     out = {
         "psnr": float(np.mean(psnrs)),
         "per_view_psnr": [round(p, 3) for p in psnrs],
-        "wall_s": round(wall, 1),
+        "wall_s": round(wall, 1) if wall is not None else None,
         "final_ckpt_step": int(start),
         "torch_threads": torch.get_num_threads(),
     }
